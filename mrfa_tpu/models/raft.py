@@ -1,0 +1,329 @@
+"""RaftFlow — the multi-resolution motion refinement decoder (MRFA's core).
+
+Behavioral spec re-derived from /root/reference/modules/raft.py:12-311:
+  - a 4096x4096 structure correlation volume between driving/source keypoint
+    structure features at the 64x64 basic resolution (a single MXU einsum),
+  - a 6-step coarse-to-fine loop over resolutions 8..256 px that looks up a
+    2-level, 7x7-window correlation pyramid per query pixel, encodes motion
+    features, warps generator features and regresses flow/occlusion deltas,
+  - telescoping upsampling of the refined deltas on top of the prior flow,
+  - final decoding through the occlusion-aware generator, with a parallel
+    "coarse" branch warped by the prior flow alone.
+
+TPU-first notes: the loop has a static trip count (fully unrolled at trace
+time); corr pooling is reshape+mean; all resizes are matmul-form; the 49-point
+window lookup is the gather hot spot (Pallas kernel: ops/pallas_kernels.py).
+
+The correlation channel order quirk of the reference (window x-offset varies
+along the *first* window axis) is preserved so converted conv weights match.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mrfa_tpu.models.generator import OcclusionAwareGenerator
+from mrfa_tpu.nn.blocks import Hourglass, conv2d
+from mrfa_tpu.ops.grid import coords_grid, kp2gaussian
+from mrfa_tpu.ops.resize import avg_pool, resize_bilinear
+from mrfa_tpu.ops.sampler import grid_sample, sample_pixel
+
+
+def corr_window_offsets(radius: int = 3, dtype=jnp.float32) -> jnp.ndarray:
+    """(2r+1, 2r+1, 2) window offsets; x varies along the FIRST axis.
+
+    Preserves the reference's channel order: output channel c = i*(2r+1)+j
+    corresponds to sampling at (x + i - r, y + j - r).
+    """
+    d = jnp.arange(-radius, radius + 1, dtype=dtype)
+    ox = jnp.broadcast_to(d[:, None], (2 * radius + 1, 2 * radius + 1))
+    oy = jnp.broadcast_to(d[None, :], (2 * radius + 1, 2 * radius + 1))
+    return jnp.stack([ox, oy], axis=-1)
+
+
+def corr_block_lookup(
+    corr: jnp.ndarray,
+    coords: jnp.ndarray,
+    num_levels: int = 2,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """RAFT-style correlation pyramid lookup.
+
+    Args:
+      corr: (BQ, hs, ws, 1) per-query correlation maps over the source axis.
+      coords: (BQ, 2) query center in level-0 source pixel coords (xy).
+
+    Returns:
+      (BQ, num_levels*(2r+1)^2) sampled correlation features.
+    """
+    offsets = corr_window_offsets(radius, dtype=coords.dtype)  # (7,7,2)
+    outs = []
+    cur = corr
+    for lvl in range(num_levels):
+        c = coords / (2.0**lvl)
+        window = c[:, None, None, :] + offsets[None]  # (BQ,7,7,2)
+        sampled = sample_pixel(cur, window)  # (BQ,7,7,1)
+        outs.append(sampled.reshape(coords.shape[0], -1))
+        if lvl + 1 < num_levels:
+            cur = avg_pool(cur, 2)
+    return jnp.concatenate(outs, axis=-1)
+
+
+class BasicMotionEncoder(nn.Module):
+    num_levels: int = 2
+    radius: int = 3
+
+    @nn.compact
+    def __call__(self, delta_flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+        cor = jax.nn.relu(conv2d(128, 1, name="convc1")(corr))
+        cor = jax.nn.relu(conv2d(96, 3, padding=1, name="convc2")(cor))
+        flo = jax.nn.relu(conv2d(128, 7, padding=3, name="convf1")(delta_flow))
+        flo = jax.nn.relu(conv2d(64, 3, padding=1, name="convf2")(flo))
+        out = jax.nn.relu(
+            conv2d(126, 3, padding=1, name="conv")(jnp.concatenate([cor, flo], -1))
+        )
+        return jnp.concatenate([out, delta_flow], axis=-1)  # 128 channels
+
+
+class RefineFlow(nn.Module):
+    @nn.compact
+    def __call__(self, m_f: jnp.ndarray, warp_f: jnp.ndarray):
+        c = jax.nn.relu(conv2d(128, 3, padding=1, name="convc1")(warp_f))
+        inp = jnp.concatenate([m_f, c], axis=-1)  # 256 channels
+        flow = conv2d(2, 3, padding=1, name="conv2")(
+            jax.nn.relu(conv2d(128, 3, padding=1, name="conv1")(inp))
+        )
+        occ = conv2d(1, 3, padding=1, name="convo2")(
+            jax.nn.relu(conv2d(128, 3, padding=1, name="convo1")(inp))
+        )
+        return jnp.concatenate([flow, occ], axis=-1), inp
+
+
+def _trunc_normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+class RaftFlow(nn.Module):
+    prior_only: bool = False
+    num_kp: int = 10
+    dim: int = 256
+    size: int = 256
+    generator: Optional[Dict[str, Any]] = None
+    driving_encoder: Optional[Dict[str, Any]] = None
+    source_encoder: Optional[Dict[str, Any]] = None
+    remat: bool = False  # rematerialize loop iterations to save train memory
+
+    def setup(self):
+        self.scale = self.dim**-0.5
+        self.h = self.size // 4
+        self.w = self.size // 4
+        self.total_iter = int(math.log2(32)) + 1  # 6 fixed refinement steps
+        self.basic_res_index = int(math.log2(self.h // (self.size // 32)))
+        self.gen = OcclusionAwareGenerator(**(self.generator or {}), name="generator")
+
+        if not self.prior_only:
+            channels = {
+                self.size // 32: 512,
+                self.size // 16: 512,
+                self.size // 8: 512,
+                self.size // 4: 256,
+                self.size // 2: 128,
+                self.size: 64,
+            }
+            self.kp = Hourglass(**(self.driving_encoder or {}), name="kp")
+            self.kp_img = Hourglass(**(self.source_encoder or {}), name="kp_img")
+            self.kp_head = conv2d(self.dim, 1, name="kp_head")
+            self.kp_img_head = conv2d(self.dim, 1, name="kp_img_head")
+            # learned positional embedding, stored in torch layout (1,K,h,w)
+            # so the checkpoint converter stays mechanical
+            self.pos_embedding = self.param(
+                "pos_embedding",
+                _trunc_normal_init(0.02),
+                (1, self.num_kp, self.h, self.w),
+            )
+            self.corr_enc = BasicMotionEncoder(name="corr_enc")
+            self.refine = RefineFlow(name="refine")
+            self.to_context = [
+                conv2d(192, 1, name=f"to_context_{i}")
+                for i in range(self.total_iter)
+            ]
+            self._channels = channels
+
+    def _prior_only_forward(self, dense_motion, feature, img_full, train):
+        flow = dense_motion["deformation"]  # (B,64,64,2) normalized
+        occlusion = dense_motion["occlusion"]  # logits
+        out_warp_f, out_occlusion = [], []
+        flow_res = flow
+        for i in range(self.total_iter):
+            res = feature[i].shape[1]
+            if flow.shape[1] != res:
+                flow_res = resize_bilinear(flow, res, align_corners=True)
+                occlusion_res = resize_bilinear(occlusion, res, align_corners=True)
+            else:
+                flow_res = flow
+                occlusion_res = occlusion
+            out_warp_f.append(
+                grid_sample(feature[i], flow_res, align_corners=False)
+            )
+            out_occlusion.append(jax.nn.sigmoid(occlusion_res))
+        warp_img = grid_sample(img_full, flow_res, align_corners=False)
+        out = self.gen.decode(out_warp_f, warp_img, out_occlusion, train=train)
+        vis = [
+            resize_bilinear(o, self.size, align_corners=True) for o in out_occlusion
+        ]
+        occlusion_vis = jnp.concatenate(vis, axis=2)  # concat along width
+        return out, warp_img, occlusion_vis
+
+    def __call__(
+        self,
+        kp_s: jnp.ndarray,
+        kp_d: jnp.ndarray,
+        dense_motion: Dict[str, jnp.ndarray],
+        img: jnp.ndarray,
+        img_full: jnp.ndarray,
+        train: bool = False,
+    ):
+        feature = self.gen.encode(img_full, train)  # coarse->fine, 6 maps
+
+        if self.prior_only:
+            return self._prior_only_forward(dense_motion, feature, img_full, train)
+
+        b, h, w, _ = img.shape
+        pos = jnp.transpose(self.pos_embedding, (0, 2, 3, 1))  # (1,h,w,K)
+
+        # --- structure correlation volume at the basic resolution (einsum) ---
+        g_s = kp2gaussian(kp_s, (h, w), 0.1) + pos
+        g_d = kp2gaussian(kp_d, (h, w), 0.1) + pos
+        fe_s = self.kp_img(jnp.concatenate([g_s, img], axis=-1), train)
+        fe_d = self.kp(g_d, train)
+        k_s = self.kp_img_head(fe_s)  # (B,h,w,dim)
+        q_d = self.kp_head(fe_d)
+        f_s = k_s.reshape(b, h * w, self.dim)
+        f_d = q_d.reshape(b, h * w, self.dim)
+        corr_volume = jnp.einsum("bic,bjc->bij", f_d, f_s) * self.scale
+        # (B, n_driving, n_source)
+
+        # --- prior motion initialization (normalized -> pixel flow) ---
+        id_grid64 = coords_grid(h, w, dtype=corr_volume.dtype)[None]
+        init_flow = (h - 1) * (dense_motion["deformation"] + 1.0) / 2.0 - id_grid64
+        init_occlusion = dense_motion["occlusion"]
+
+        flow = resize_bilinear(init_flow, self.size // 32, align_corners=True) / 8.0
+        occlusion = resize_bilinear(
+            init_occlusion, self.size // 32, align_corners=True
+        )
+
+        # corr volume viewed with the driving axis spatial: (B, hd, wd, n_src)
+        corr_hw = corr_volume.reshape(b, h, w, h * w)
+
+        out_warp_f: List[jnp.ndarray] = []
+        out_occlusion: List[jnp.ndarray] = []
+        out_warp_f_c: List[jnp.ndarray] = []
+        out_occlusion_c: List[jnp.ndarray] = []
+        d_f_pre = None
+        d_occ_pre = None
+
+        for i in range(self.total_iter):
+            res = (self.size // 32) * (2**i)
+            id_grid = coords_grid(res, res, dtype=flow.dtype)[None]
+
+            # -- select query coords and the (possibly pooled) corr volume --
+            if i < self.basic_res_index:
+                f = 2 ** (self.basic_res_index - i)
+                pooled = avg_pool(corr_hw, f)  # (B,res,res,n_src) pooled driving
+                scale = float(f)
+                flow_sample, id_grid_sample = flow, id_grid
+            elif i == self.basic_res_index:
+                pooled = corr_hw
+                scale = 1.0
+                flow_sample, id_grid_sample = flow, id_grid
+            else:
+                pooled = corr_hw
+                scale = 1.0
+                flow_sample = resize_bilinear(flow, self.h, align_corners=True) * (
+                    0.5 ** (i - self.basic_res_index)
+                )
+                id_grid_sample = coords_grid(self.h, self.w, dtype=flow.dtype)[None]
+
+            hq = pooled.shape[1]
+            corr_src = pooled.reshape(b * hq * hq, 1, self.h, self.w)
+            corr_src = jnp.transpose(corr_src, (0, 2, 3, 1))  # (BQ, hs, ws, 1)
+            coords = (flow_sample + id_grid_sample) * scale  # (B,hq,hq,2)
+            corr = corr_block_lookup(corr_src, coords.reshape(-1, 2))
+            corr = corr.reshape(b, hq, hq, -1)  # (B,hq,hq,98)
+            if i > self.basic_res_index:
+                corr = resize_bilinear(corr, res, align_corners=True)
+
+            m_f = self.corr_enc(flow, corr)
+            warp_f = sample_pixel(feature[i], flow + id_grid)
+            warp_f = jax.nn.relu(self.to_context[i](warp_f))
+
+            d_all, _ = self.refine(m_f, warp_f)
+            d_flow = d_all[..., 0:2]
+            d_occ = d_all[..., 2:3]
+            flow_w = flow + d_flow
+            occlusion = occlusion + d_occ
+
+            out_warp_f.append(sample_pixel(feature[i], flow_w + id_grid))
+            out_occlusion.append(jax.nn.sigmoid(occlusion))
+
+            # -- coarse branch: warp by the prior flow alone --
+            if i != self.basic_res_index:
+                flow_res = resize_bilinear(
+                    dense_motion["deformation"], res, align_corners=True
+                )
+                occlusion_res = resize_bilinear(
+                    dense_motion["occlusion"], res, align_corners=True
+                )
+            else:
+                flow_res = dense_motion["deformation"]
+                occlusion_res = dense_motion["occlusion"]
+            out_warp_f_c.append(
+                grid_sample(feature[i], flow_res, align_corners=False)
+            )
+            out_occlusion_c.append(jax.nn.sigmoid(occlusion_res))
+
+            # -- telescoping upsample of deltas on top of the prior flow --
+            if i < self.total_iter - 1:
+                nxt = res * 2
+                scale_init = 2.0 ** (self.basic_res_index - i) / 2.0
+                d_f = resize_bilinear(d_flow, nxt, align_corners=True) * 2.0
+                flow = d_f + resize_bilinear(init_flow, nxt, align_corners=True) / scale_init
+                if d_f_pre is None:
+                    d_f_pre = d_f
+                else:
+                    up_pre = resize_bilinear(d_f_pre, nxt, align_corners=True) * 2.0
+                    flow = flow + up_pre
+                    d_f_pre = d_f + up_pre
+                d_occ_up = resize_bilinear(d_occ, nxt, align_corners=True)
+                occlusion = d_occ_up + resize_bilinear(
+                    init_occlusion, nxt, align_corners=True
+                )
+                if d_occ_pre is None:
+                    d_occ_pre = d_occ_up
+                else:
+                    up_occ_pre = resize_bilinear(d_occ_pre, nxt, align_corners=True)
+                    occlusion = occlusion + up_occ_pre
+                    d_occ_pre = d_occ_up + up_occ_pre
+
+        # NB: matches the reference — the final warp uses the pre-refinement
+        # flow of the last iteration (raft.py:302 uses `flow`, not `flow_w`)
+        warp_img = sample_pixel(img_full, flow + id_grid)
+        out = self.gen.decode(
+            out_warp_f, warp_img, out_occlusion, out_warp_f_c, out_occlusion_c,
+            train=train,
+        )
+
+        out_occlusion.append(jax.nn.sigmoid(init_occlusion))
+        vis = [
+            resize_bilinear(o, self.size, align_corners=True) for o in out_occlusion
+        ]
+        occlusion_vis = jnp.concatenate(vis, axis=2)
+        return out, warp_img, occlusion_vis
