@@ -1,0 +1,80 @@
+"""Benchmark: 256px single-stream animation frames/sec on one TPU chip.
+
+Measures the full per-frame serving step of the flagship (MTIA prior) model —
+driving keypoint encoding + relative normalization + dense motion + 6-step
+RaftFlow refinement + generator decode — as one fused jitted function,
+matching the reference's demo loop work (/root/reference/demo.py:55-72; the
+reference additionally re-syncs per frame, we measure steady-state device
+throughput with host round trip per frame).
+
+Baseline note: the reference publishes no frames/sec (BASELINE.md). The
+north-star target is >= 2x an A100's single-stream fps; an A100 running the
+PyTorch reference at 256px is estimated at ~45 fps (eager, unfused gathers),
+so vs_baseline is reported against 90 fps. This stands in until a measured
+A100 number exists.
+
+Prints exactly one JSON line:
+  {"metric": "animation_fps_256px", "value": N, "unit": "frames/sec",
+   "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 90.0  # 2 x estimated A100 single-stream fps (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from mrfa_tpu.animate import Animator
+    from mrfa_tpu.models.mrfa import MRFA
+
+    size = 256
+    cfg = _flagship_cfg(size)
+    model = MRFA(cfg)
+    rng = np.random.RandomState(0)
+
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "equivariance": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = model.init(
+        rngs, dummy, dummy, train=True, compute_loss=True, use_bg=True
+    )
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    animator = Animator(model, variables, relative=True)
+    source = rng.rand(size, size, 3).astype(np.float32)
+    frames = [rng.rand(size, size, 3).astype(np.float32) for _ in range(8)]
+
+    clip_state = animator.begin(source, frames[0], adapt_movement_scale=False)
+    # warmup / compile
+    out, _, _ = animator.animate_frame(clip_state, frames[0])
+    jax.block_until_ready(out)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out, _, _ = animator.animate_frame(clip_state, frames[i % len(frames)])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "animation_fps_256px",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Animation API: relative-motion keypoint normalization + frame loops.
+
+Public serving surface matching /root/reference/demo.py:30-73 and
+animate_ddp.py:17-37: `normalize_kp` relative-motion transfer and
+`make_animation` over a driving clip, decomposed (like the reference) into
+kp-encoder / dense-motion / decoder stages.
+
+TPU-native serving design: the whole per-frame pipeline — driving keypoint
+encoding, relative normalization, dense motion, RaftFlow refinement, decode —
+is ONE jitted function (single host->device->host round trip per frame);
+source-side keypoints are hoisted out of the loop. The reference re-runs
+dense_motion per frame and syncs repeatedly (demo.py:55-72).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrfa_tpu.models.mrfa import MRFA
+from mrfa_tpu.ops.resize import AntiAliasParams, antialias_downsample
+
+
+def convex_hull_volume(points: np.ndarray) -> float:
+    from scipy.spatial import ConvexHull
+
+    return float(ConvexHull(points).volume)
+
+
+def normalize_kp(
+    kp_source: Dict[str, jnp.ndarray],
+    kp_driving: Dict[str, jnp.ndarray],
+    kp_driving_initial: Dict[str, jnp.ndarray],
+    adapt_movement_scale=False,
+    use_relative_movement: bool = False,
+    use_relative_jacobian: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Relative-motion transfer: kp_new = kp_s + (kp_d - kp_d0) * scale.
+
+    `adapt_movement_scale` may be a bool (True computes the convex-hull area
+    ratio on host, matching the reference) or a precomputed float scale.
+    """
+    if isinstance(adapt_movement_scale, bool):
+        if adapt_movement_scale:
+            source_area = convex_hull_volume(np.asarray(kp_source["kp"])[0])
+            driving_area = convex_hull_volume(np.asarray(kp_driving_initial["kp"])[0])
+            scale = np.sqrt(source_area) / np.sqrt(driving_area)
+        else:
+            scale = 1.0
+    else:
+        scale = adapt_movement_scale
+
+    kp_new = dict(kp_driving)
+    if use_relative_movement:
+        kp_diff = (kp_driving["kp"] - kp_driving_initial["kp"]) * scale
+        kp_new["kp"] = kp_diff + kp_source["kp"]
+        if use_relative_jacobian and "jacobian" in kp_driving:
+            jacobian_diff = jnp.matmul(
+                kp_driving["jacobian"], jnp.linalg.inv(kp_driving_initial["jacobian"])
+            )
+            kp_new["jacobian"] = jnp.matmul(jacobian_diff, kp_source["jacobian"])
+    return kp_new
+
+
+class Animator:
+    """Fused, jitted per-frame animation pipeline over a trained MRFA model."""
+
+    def __init__(
+        self,
+        model: MRFA,
+        variables: Dict[str, Any],
+        relative: bool = True,
+        use_relative_jacobian: bool = True,
+    ):
+        self.model = model
+        self.variables = variables
+        self.relative = relative
+        self.use_relative_jacobian = use_relative_jacobian
+        self._aa = AntiAliasParams.create(0.25)
+
+        def encode(model, img):
+            return model.encode_kp(img)
+
+        self._encode = jax.jit(
+            lambda v, img: model.apply(v, img, method=encode)
+        )
+
+        def frame_step(model, source, img_down, kp_source, kp_driving_initial,
+                       driving_frame, scale):
+            kp_driving = model.encode_kp(driving_frame)
+            kp_norm = normalize_kp(
+                kp_source, kp_driving, kp_driving_initial,
+                adapt_movement_scale=scale,
+                use_relative_movement=self.relative,
+                use_relative_jacobian=self.relative and self.use_relative_jacobian,
+            )
+            dense_motion = model.run_dense_motion(
+                source, kp_norm, kp_source, None, False, 0.0, False
+            )
+            out, warp_img, occlusion = model.decoder(
+                model.kp_for_decoder(kp_source),
+                model.kp_for_decoder(kp_norm),
+                dense_motion,
+                img=img_down,
+                img_full=source,
+                train=False,
+            )
+            return out, warp_img, occlusion
+
+        self._frame = jax.jit(
+            lambda v, src, dwn, kps, kpd0, frame, scale: model.apply(
+                v, src, dwn, kps, kpd0, frame, scale, method=frame_step
+            )
+        )
+
+    def encode_kp(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return self._encode(self.variables, image)
+
+    def begin(self, source_image: np.ndarray, first_driving_frame: np.ndarray,
+              adapt_movement_scale: bool = False):
+        """Per-clip setup: source keypoints, initial driving keypoints, scale."""
+        source = jnp.asarray(source_image)
+        if source.ndim == 3:
+            source = source[None]
+        kp_source = self.encode_kp(source)
+        kp_d0 = self.encode_kp(jnp.asarray(first_driving_frame)[None])
+        if adapt_movement_scale:
+            sa = convex_hull_volume(np.asarray(kp_source["kp"])[0])
+            da = convex_hull_volume(np.asarray(kp_d0["kp"])[0])
+            scale = float(np.sqrt(sa) / np.sqrt(da))
+        else:
+            scale = 1.0
+        img_down = antialias_downsample(source, self._aa)
+        return source, img_down, kp_source, kp_d0, jnp.float32(scale)
+
+    def animate_frame(self, clip_state, driving_frame):
+        source, img_down, kp_source, kp_d0, scale = clip_state
+        frame = jnp.asarray(driving_frame)
+        if frame.ndim == 3:
+            frame = frame[None]
+        return self._frame(
+            self.variables, source, img_down, kp_source, kp_d0, frame, scale
+        )
+
+    def make_animation(
+        self,
+        source_image: np.ndarray,  # (H, W, 3) in [0, 1]
+        driving_video: np.ndarray,  # (T, H, W, 3)
+        adapt_movement_scale: bool = False,
+    ) -> List[np.ndarray]:
+        clip_state = self.begin(source_image, driving_video[0], adapt_movement_scale)
+        predictions = []
+        for frame in driving_video:
+            out, _, _ = self.animate_frame(clip_state, frame)
+            predictions.append(np.asarray(out[0]))
+        return predictions

@@ -1,0 +1,184 @@
+"""The training driver: epoch loop, phase management, checkpoint cadence.
+
+Mirrors /root/reference/train.py:17-94 behavior on top of the jitted sharded
+step: DatasetRepeater epochs, per-epoch LR milestones (folded into the optax
+schedule), bg-predictor phase switching at bg_start, TPSM dropout schedule,
+rank-0-style logging (process_index 0), per-epoch visualization + orbax
+checkpoints.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrfa_tpu.data.dataset import BatchLoader, DatasetRepeater
+from mrfa_tpu.models.mrfa import MRFA
+from mrfa_tpu.parallel.mesh import make_mesh, shard_batch
+from mrfa_tpu.train.optim import BG_SUBTREES, MAIN_SUBTREES, make_optimizer
+from mrfa_tpu.train.trainer import TrainState, create_train_state, make_train_step
+from mrfa_tpu.utils.checkpoint import (
+    load_torch_weights_into,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from mrfa_tpu.utils.logger import Logger
+
+
+def init_model_variables(model: MRFA, cfg: Dict[str, Any], seed: int = 0):
+    """Initialize variables with tiny dummy batch at the configured size."""
+    size = cfg["raft_flow"]["size"]
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(seed),
+        "equivariance": jax.random.PRNGKey(seed + 1),
+        "dropout": jax.random.PRNGKey(seed + 2),
+    }
+    tp = cfg["train_params"]
+    use_bg = tp["bg_start"] < tp["num_epochs"]
+    variables = model.init(
+        rngs, dummy, dummy, train=True, compute_loss=True, use_bg=use_bg
+    )
+    return variables
+
+
+def train(
+    config: Dict[str, Any],
+    model: MRFA,
+    checkpoint: Optional[str],
+    log_dir: str,
+    dataset,
+    *,
+    seed: int = 0,
+    max_steps_per_epoch: Optional[int] = None,
+):
+    tp = config["train_params"]
+    num_epochs = tp["num_epochs"]
+    bg_start = tp["bg_start"]
+    prior_model = tp["prior_model"]
+
+    if tp.get("num_repeats", 1) != 1:
+        dataset = DatasetRepeater(dataset, tp["num_repeats"])
+
+    n_proc = jax.process_count()
+    mesh = make_mesh()
+    global_batch = tp["batch_size"]
+    loader = BatchLoader(
+        dataset,
+        batch_size=global_batch // n_proc,
+        shuffle=True,
+        drop_last=True,
+        seed=seed,
+        shard_index=jax.process_index(),
+        num_shards=n_proc,
+    )
+    steps_per_epoch = len(loader)
+    if max_steps_per_epoch is not None:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+
+    variables = init_model_variables(model, config, seed)
+    if checkpoint is not None:
+        if checkpoint.endswith(".pth"):
+            variables, _, _ = load_torch_weights_into(
+                variables, checkpoint, drop_decoder_pos_embedding=True
+            )
+        else:
+            variables, _ = restore_checkpoint(checkpoint, variables)
+
+    tx_main = make_optimizer(
+        variables["params"], tp["lr"], tp["epoch_milestones"], steps_per_epoch,
+        MAIN_SUBTREES,
+    )
+    tx_bg = make_optimizer(
+        variables["params"], tp["lr"], tp["epoch_milestones"], steps_per_epoch,
+        BG_SUBTREES,
+    )
+    state = create_train_state(variables, tx_main, tx_bg)
+
+    steps = {}
+    rng = jax.random.PRNGKey(seed + 1234)
+    logger = Logger(
+        log_dir,
+        visualizer_params=config.get("visualizer_params") or {},
+        checkpoint_freq=tp.get("checkpoint_freq", 100),
+    )
+
+    with mesh:
+        for epoch in range(num_epochs):
+            use_bg = epoch >= bg_start and bg_start < num_epochs
+            if prior_model == "tpsm" and epoch < tp.get("dropout_epoch", 0):
+                dropout_flag = True
+                dropout_p = min(
+                    epoch / tp["dropout_inc_epoch"] * tp["dropout_maxp"]
+                    + tp["dropout_startp"],
+                    tp["dropout_maxp"],
+                )
+            else:
+                dropout_flag = False
+                dropout_p = 0.0
+
+            phase = (use_bg, dropout_flag)
+            if phase not in steps:
+                steps[phase] = make_train_step(
+                    model, tx_main, tx_bg,
+                    use_bg=use_bg, dropout_flag=dropout_flag,
+                    clip_grad=tp.get("clip_grad", False), clip=tp.get("clip", 10.0),
+                )
+            step_fn = steps[phase]
+
+            t0 = time.time()
+            last_batch = None
+            last_extras = None
+            for it, batch in enumerate(loader.epoch(epoch)):
+                if it >= steps_per_epoch:
+                    break
+                device_batch = shard_batch(
+                    {"source": batch["source"], "driving": batch["driving"]}, mesh
+                )
+                state, metrics, extras = step_fn(
+                    state, device_batch, rng, jnp.float32(dropout_p)
+                )
+                if jax.process_index() == 0:
+                    logger.log_iter(
+                        {k: v for k, v in metrics.items() if k != "loss"}
+                    )
+                last_batch, last_extras = device_batch, extras
+
+            if jax.process_index() == 0:
+                dt = time.time() - t0
+                print(f"epoch {epoch}: {steps_per_epoch} steps in {dt:.1f}s "
+                      f"({steps_per_epoch * global_batch / max(dt, 1e-9):.2f} samples/s)")
+                out = None
+                if last_extras is not None:
+                    rec = jnp.concatenate(
+                        [last_extras["warp_vis"], last_extras["gen"]], axis=2
+                    )
+                    out = {
+                        "rec": np.asarray(rec[:1]),
+                        "kp_s": np.asarray(last_extras["kp_s"][:1]),
+                        "kp_d": np.asarray(last_extras["kp_d"][:1]),
+                    }
+                    inp = {
+                        "source": np.asarray(last_batch["source"][:1]),
+                        "driving": np.asarray(last_batch["driving"][:1]),
+                    }
+                    logger.log_epoch(epoch, inp=inp, out=out)
+                else:
+                    logger.log_epoch(epoch)
+
+                if (epoch + 1) % logger.checkpoint_freq == 0 or epoch == num_epochs - 1:
+                    save_checkpoint(
+                        f"{log_dir}/ckpt",
+                        {
+                            "params": state.params,
+                            "batch_stats": state.batch_stats,
+                            "opt_state_main": state.opt_state_main,
+                            "opt_state_bg": state.opt_state_bg,
+                            "epoch": epoch,
+                        },
+                        step=epoch,
+                    )
+    return state

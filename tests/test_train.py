@@ -1,0 +1,154 @@
+"""Training-step tests: sharded step runs, losses finite, masking correct."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mrfa_tpu.models.mrfa import MRFA
+from mrfa_tpu.parallel.mesh import make_mesh, shard_batch
+from mrfa_tpu.train.optim import (
+    BG_SUBTREES,
+    MAIN_SUBTREES,
+    clip_inf_norm_subtrees,
+    make_optimizer,
+    multistep_lr,
+)
+from mrfa_tpu.train.trainer import create_train_state, make_train_step
+
+SIZE = 128
+
+
+def small_cfg(prior="fomm"):
+    return {
+        "train_params": {
+            "prior_model": prior,
+            "num_epochs": 100,
+            "bg_start": 0,
+            "epoch_milestones": [60, 90],
+            "lr": 2.0e-4,
+            "batch_size": 2,
+            "scales": [1, 0.25],
+            "clip_grad": True,
+            "clip": 10,
+            "transform_params": {"sigma_affine": 0.05, "sigma_tps": 0.005, "points_tps": 5},
+            "loss_weights": {
+                "perceptual": [10, 10, 10, 10, 10],
+                "equivariance": 10,
+                "equivariance_jacobian": 10,
+            },
+        },
+        "dense_motion": {
+            "block_expansion": 64, "max_features": 1024, "num_blocks": 5,
+            "scale_factor": 0.25, "num_kp": 10, "num_channels": 3,
+            "estimate_occlusion_map": True,
+        },
+        "fomm_kp_detector": {
+            "block_expansion": 32, "num_kp": 10, "num_channels": 3,
+            "max_features": 1024, "num_blocks": 5, "temperature": 0.1,
+            "scale_factor": 0.25, "estimate_jacobian": True,
+        },
+        "tpsm_kp_detector": {"num_tps": 10},
+        "tpsm_dense_motion": {
+            "block_expansion": 64, "max_features": 1024, "num_blocks": 5,
+            "scale_factor": 0.25, "num_tps": 10, "num_channels": 3,
+        },
+        "raft_flow": {
+            "prior_only": False, "num_kp": 10, "dim": 256, "size": SIZE,
+            "generator": {"num_channels": 3, "block_expansion": 64, "max_features": 512, "num_up_blocks": 5},
+            "driving_encoder": {"in_features": 10, "block_expansion": 32, "max_features": 512, "num_blocks": 5},
+            "source_encoder": {"in_features": 13, "block_expansion": 32, "max_features": 512, "num_blocks": 5},
+        },
+    }
+
+
+class TestOptim:
+    def test_multistep_lr(self):
+        sched = multistep_lr(2e-4, [60, 90], steps_per_epoch=10)
+        assert np.isclose(float(sched(0)), 2e-4)
+        assert np.isclose(float(sched(599)), 2e-4)
+        assert np.isclose(float(sched(600)), 2e-5)
+        assert np.isclose(float(sched(900)), 2e-6)
+
+    def test_clip_inf_norm(self):
+        grads = {
+            "encoder": {"w": jnp.asarray([100.0, -200.0])},
+            "decoder": {"w": jnp.asarray([100.0])},
+            "vgg": {"w": jnp.asarray([5.0])},
+        }
+        out = clip_inf_norm_subtrees(grads, 10.0)
+        # encoder scaled to inf-norm 10
+        np.testing.assert_allclose(
+            np.asarray(out["encoder"]["w"]), [5.0, -10.0], rtol=1e-4
+        )
+        # decoder NOT in the clip set
+        np.testing.assert_allclose(np.asarray(out["decoder"]["w"]), [100.0])
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = small_cfg("fomm")
+        model = MRFA(cfg)
+        dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+        rngs = {
+            "params": jax.random.PRNGKey(0),
+            "equivariance": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2),
+        }
+        variables = model.init(
+            rngs, dummy, dummy, train=True, compute_loss=True, use_bg=True
+        )
+        return cfg, model, variables
+
+    def test_sharded_train_step(self, setup):
+        cfg, model, variables = setup
+        tp = cfg["train_params"]
+        tx_main = make_optimizer(variables["params"], tp["lr"], tp["epoch_milestones"], 10, MAIN_SUBTREES)
+        tx_bg = make_optimizer(variables["params"], tp["lr"], tp["epoch_milestones"], 10, BG_SUBTREES)
+
+        mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+        with mesh:
+            state = create_train_state(variables, tx_main, tx_bg)
+            step = make_train_step(
+                model, tx_main, tx_bg, use_bg=True, dropout_flag=False,
+                clip_grad=True, clip=10.0, donate=False,
+            )
+            rng = np.random.RandomState(0)
+            batch = shard_batch(
+                {
+                    "source": jnp.asarray(rng.rand(2, SIZE, SIZE, 3), jnp.float32),
+                    "driving": jnp.asarray(rng.rand(2, SIZE, SIZE, 3), jnp.float32),
+                },
+                mesh,
+            )
+            new_state, metrics, extras = step(
+                state, batch, jax.random.PRNGKey(7), jnp.float32(0.0)
+            )
+            loss = float(metrics["loss"])
+            assert np.isfinite(loss), metrics
+            assert int(new_state.step) == 1
+
+            # main params updated
+            old = variables["params"]["encoder"]
+            new = new_state.params["encoder"]
+            diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), old, new)
+            assert max(jax.tree.leaves(diffs)) > 0
+
+            # frozen vgg untouched
+            oldv = variables["params"]["vgg"]
+            newv = new_state.params["vgg"]
+            diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), oldv, newv)
+            assert max(jax.tree.leaves(diffs)) == 0
+
+            # bg predictor updated (use_bg=True)
+            oldb = variables["params"]["bg_predictor"]
+            newb = new_state.params["bg_predictor"]
+            diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), oldb, newb)
+            assert max(jax.tree.leaves(diffs)) > 0
+
+            # batch stats changed (train-mode BN)
+            bs_old = jax.tree.leaves(variables["batch_stats"])
+            bs_new = jax.tree.leaves(new_state.batch_stats)
+            assert any(
+                float(jnp.abs(a - b).max()) > 0 for a, b in zip(bs_old, bs_new)
+            )
