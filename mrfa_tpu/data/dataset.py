@@ -48,6 +48,22 @@ def _ensure_rgb(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def _read_frames_native(paths):
+    """Decode PNG/JPEG frames at their native size via the C codec, or None.
+
+    Preserves the reference's semantics (frames are loaded at the stored
+    resolution, never resized by the loader).
+    """
+    from mrfa_tpu import native
+
+    if not native.available() or not paths:
+        return None
+    size = native.image_size(paths[0])
+    if size is None:
+        return None
+    return native.decode_batch(paths, size[0], size[1], n_threads=4)
+
+
 def read_video(
     name: str,
     frame_shape=(256, 256, 3),
@@ -57,11 +73,13 @@ def read_video(
     if os.path.isdir(name):
         frames = sorted(os.listdir(name))
         count = 1 if read_first_frame else len(frames)
+        paths = [os.path.join(name, frames[i]) for i in range(count)]
+        if all(p.lower().endswith((".png", ".jpg", ".jpeg")) for p in paths):
+            out = _read_frames_native(paths)
+            if out is not None:
+                return out
         return np.array(
-            [
-                img_as_float32(_ensure_rgb(imageio.imread(os.path.join(name, frames[i]))))
-                for i in range(count)
-            ]
+            [img_as_float32(_ensure_rgb(imageio.imread(p))) for p in paths]
         )
     lower = name.lower()
     if lower.endswith((".png", ".jpg")):
@@ -154,12 +172,16 @@ class FramesDataset:
                 frames = sorted(os.listdir(path))
                 num_frames = len(frames)
                 frame_idx = np.sort(self.rng.choice(num_frames, replace=True, size=2))
-                video = [
-                    img_as_float32(
-                        _ensure_rgb(imageio.imread(os.path.join(path, frames[i])))
-                    )
-                    for i in frame_idx
-                ]
+                paths = [os.path.join(path, frames[i]) for i in frame_idx]
+                video = None
+                if all(p.lower().endswith((".png", ".jpg", ".jpeg")) for p in paths):
+                    batch = _read_frames_native(paths)
+                    if batch is not None:
+                        video = [batch[0], batch[1]]
+                if video is None:
+                    video = [
+                        img_as_float32(_ensure_rgb(imageio.imread(p))) for p in paths
+                    ]
             else:
                 arr = read_video(path, frame_shape=self.frame_shape)
                 frame_idx = np.sort(self.rng.choice(len(arr), replace=True, size=2))

@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from mrfa_tpu.models.generator import OcclusionAwareGenerator
 from mrfa_tpu.nn.blocks import Hourglass, conv2d
+from mrfa_tpu.ops.corr import corr_block_lookup_fast
 from mrfa_tpu.ops.grid import coords_grid, kp2gaussian
 from mrfa_tpu.ops.resize import avg_pool, resize_bilinear
 from mrfa_tpu.ops.sampler import grid_sample, sample_pixel
@@ -119,6 +120,7 @@ class RaftFlow(nn.Module):
     driving_encoder: Optional[Dict[str, Any]] = None
     source_encoder: Optional[Dict[str, Any]] = None
     remat: bool = False  # rematerialize loop iterations to save train memory
+    fast_lookup: bool = True  # patch-slice corr lookup (exact; see ops/corr.py)
 
     def setup(self):
         self.scale = self.dim**-0.5
@@ -253,10 +255,10 @@ class RaftFlow(nn.Module):
                 id_grid_sample = coords_grid(self.h, self.w, dtype=flow.dtype)[None]
 
             hq = pooled.shape[1]
-            corr_src = pooled.reshape(b * hq * hq, 1, self.h, self.w)
-            corr_src = jnp.transpose(corr_src, (0, 2, 3, 1))  # (BQ, hs, ws, 1)
+            corr_src = pooled.reshape(b * hq * hq, self.h, self.w, 1)
             coords = (flow_sample + id_grid_sample) * scale  # (B,hq,hq,2)
-            corr = corr_block_lookup(corr_src, coords.reshape(-1, 2))
+            lookup = corr_block_lookup_fast if self.fast_lookup else corr_block_lookup
+            corr = lookup(corr_src, coords.reshape(-1, 2))
             corr = corr.reshape(b, hq, hq, -1)  # (B,hq,hq,98)
             if i > self.basic_res_index:
                 corr = resize_bilinear(corr, res, align_corners=True)

@@ -1,0 +1,102 @@
+"""Correlation-volume lookup ops for the RAFT-style refinement loop.
+
+The reference looks up a (2r+1)^2 = 49-point bilinear window per query pixel
+with a mega-batched grid_sample (/root/reference/modules/raft.py:23-48, with
+the `batch_bilinear_sampler` chunk hack to cap memory). Here the lookup is
+re-derived for TPU:
+
+Because the window offsets are integers, all 49 samples of a query share one
+fractional offset (fx, fy). The lookup therefore equals:
+  1. slice one (2r+2)x(2r+2) integer patch around (floor(x), floor(y))
+     from the zero-padded correlation map (a contiguous block gather),
+  2. blend the four shifted (2r+1)x(2r+1) sub-patches with the scalar
+     bilinear weights (pure VPU math).
+
+That replaces ~392 gathered scalars per query with one 64-element contiguous
+block — the difference between a gather-bound loop and a bandwidth-friendly
+one. Zero-padding by (2r+2) preserves the exact out-of-bounds semantics of
+grid_sample's zeros padding (verified against the reference in tests).
+
+The reference's window-channel order quirk (x offset varies along the FIRST
+window axis: channel c = i*(2r+1)+j samples (x+i-r, y+j-r)) is preserved so
+converted conv weights match.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mrfa_tpu.ops.resize import avg_pool
+
+
+def _patch_lookup(corr: jnp.ndarray, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """One-level window lookup.
+
+    Args:
+      corr: (BQ, H, W) per-query correlation maps.
+      coords: (BQ, 2) query centers in pixel xy.
+
+    Returns:
+      (BQ, (2r+1)^2) sampled window, reference channel order.
+    """
+    bq, h, w = corr.shape
+    r = radius
+    pad = 2 * r + 2  # covers clamp margin for fully-out-of-bounds windows
+    win = 2 * r + 1
+    patch = 2 * r + 2
+
+    cx = coords[:, 0]
+    cy = coords[:, 1]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0).astype(corr.dtype)
+    fy = (cy - y0).astype(corr.dtype)
+
+    # clamp so the patch stays inside the padded array; outside this range the
+    # true window is entirely out of bounds and lands in the zero pad region
+    x0c = jnp.clip(x0, -(r + 2), w + r).astype(jnp.int32)
+    y0c = jnp.clip(y0, -(r + 2), h + r).astype(jnp.int32)
+    sx = x0c + pad - r
+    sy = y0c + pad - r
+
+    padded = jnp.pad(corr, ((0, 0), (pad, pad), (pad, pad)))
+
+    def slice_one(p, y, x):
+        return jax.lax.dynamic_slice(p, (y, x), (patch, patch))
+
+    p8 = jax.vmap(slice_one)(padded, sy, sx)  # (BQ, 2r+2, 2r+2)
+
+    fx = fx[:, None, None]
+    fy = fy[:, None, None]
+    q = (
+        (1 - fx) * (1 - fy) * p8[:, :win, :win]
+        + fx * (1 - fy) * p8[:, :win, 1:]
+        + (1 - fx) * fy * p8[:, 1:, :win]
+        + fx * fy * p8[:, 1:, 1:]
+    )  # (BQ, win_y, win_x): q[j, i] = sample at (x+i-r, y+j-r)... transposed
+    # reference channel order: c = i*win + j with x offset on the first axis
+    return jnp.swapaxes(q, 1, 2).reshape(bq, win * win)
+
+
+def corr_block_lookup_fast(
+    corr: jnp.ndarray,
+    coords: jnp.ndarray,
+    num_levels: int = 2,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """RAFT correlation pyramid lookup via patch slicing.
+
+    Args:
+      corr: (BQ, hs, ws, 1) per-query correlation maps over the source axis.
+      coords: (BQ, 2) query centers in level-0 source pixel coords (xy).
+
+    Returns:
+      (BQ, num_levels*(2r+1)^2) features, identical to the gather-based path.
+    """
+    cur = corr[..., 0]  # (BQ, H, W)
+    outs = []
+    for lvl in range(num_levels):
+        outs.append(_patch_lookup(cur, coords / (2.0**lvl), radius))
+        if lvl + 1 < num_levels:
+            cur = avg_pool(cur[..., None], 2)[..., 0]
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,124 @@
+"""Batched multi-stream animation serving (BASELINE config #5).
+
+Many concurrent (source, driving-stream) animation sessions are served as one
+batched, jitted per-frame step, optionally sharded over the 'data' axis of a
+device mesh (streams ride ICI across chips). The per-stream state (source
+image + its downsample, source keypoints, initial driving keypoints, motion
+scale) is precomputed once per stream and stacked; each serve() call advances
+every stream by one frame in a single device program.
+
+Host decode should feed `frames` double-buffered; see data.dataset.BatchLoader
+for the threaded prefetch pattern.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mrfa_tpu.animate import normalize_kp
+from mrfa_tpu.models.mrfa import MRFA
+from mrfa_tpu.ops.resize import AntiAliasParams, antialias_downsample
+from mrfa_tpu.parallel.mesh import batch_sharding, make_mesh
+
+
+class StreamBatchState(struct.PyTreeNode):
+    """Stacked per-stream animation state (leading axis = stream)."""
+
+    source: jnp.ndarray  # (S, H, W, 3)
+    img_down: jnp.ndarray  # (S, H/4, W/4, 3)
+    kp_source: Dict[str, jnp.ndarray]
+    kp_driving_initial: Dict[str, jnp.ndarray]
+    scale: jnp.ndarray  # (S,)
+
+
+class AnimationServer:
+    def __init__(
+        self,
+        model: MRFA,
+        variables: Dict[str, Any],
+        mesh=None,
+        relative: bool = True,
+        use_relative_jacobian: bool = True,
+    ):
+        self.model = model
+        self.variables = variables
+        self.mesh = mesh
+        self.relative = relative
+        self.use_relative_jacobian = use_relative_jacobian
+        self._aa = AntiAliasParams.create(0.25)
+
+        def encode(model, img):
+            return model.encode_kp(img)
+
+        self._encode = jax.jit(lambda v, img: model.apply(v, img, method=encode))
+
+        def frame_step(model, source, img_down, kp_source, kp_d0, frames, scale):
+            kp_driving = model.encode_kp(frames)
+            kp_norm = normalize_kp(
+                kp_source, kp_driving, kp_d0,
+                adapt_movement_scale=scale[:, None, None],
+                use_relative_movement=self.relative,
+                use_relative_jacobian=self.relative and self.use_relative_jacobian,
+            )
+            dense_motion = model.run_dense_motion(
+                source, kp_norm, kp_source, None, False, 0.0, False
+            )
+            out, _, _ = model.decoder(
+                model.kp_for_decoder(kp_source),
+                model.kp_for_decoder(kp_norm),
+                dense_motion,
+                img=img_down,
+                img_full=source,
+                train=False,
+            )
+            return out
+
+        self._frame = jax.jit(
+            lambda v, st, frames: model.apply(
+                v, st.source, st.img_down, st.kp_source, st.kp_driving_initial,
+                frames, st.scale, method=frame_step,
+            )
+        )
+
+    def open_streams(
+        self,
+        sources: np.ndarray,  # (S, H, W, 3)
+        first_frames: np.ndarray,  # (S, H, W, 3)
+        adapt_movement_scale: bool = False,
+    ) -> StreamBatchState:
+        src = jnp.asarray(sources)
+        if self.mesh is not None:
+            src = jax.device_put(src, batch_sharding(self.mesh))
+        kp_source = self._encode(self.variables, src)
+        kp_d0 = self._encode(self.variables, jnp.asarray(first_frames))
+        if adapt_movement_scale:
+            from mrfa_tpu.animate import convex_hull_volume
+
+            scales = []
+            kps = np.asarray(kp_source["kp"])
+            kpd = np.asarray(kp_d0["kp"])
+            for s in range(src.shape[0]):
+                sa = convex_hull_volume(kps[s])
+                da = convex_hull_volume(kpd[s])
+                scales.append(np.sqrt(sa) / np.sqrt(da))
+            scale = jnp.asarray(scales, jnp.float32)
+        else:
+            scale = jnp.ones((src.shape[0],), jnp.float32)
+        return StreamBatchState(
+            source=src,
+            img_down=antialias_downsample(src, self._aa),
+            kp_source=kp_source,
+            kp_driving_initial=kp_d0,
+            scale=scale,
+        )
+
+    def serve(self, state: StreamBatchState, frames: np.ndarray) -> jnp.ndarray:
+        """Advance every stream one frame: (S,H,W,3) driving -> (S,H,W,3) out."""
+        f = jnp.asarray(frames)
+        if self.mesh is not None:
+            f = jax.device_put(f, batch_sharding(self.mesh))
+        return self._frame(self.variables, state, f)

@@ -17,4 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend via
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start — the
+# env var alone is ignored. Re-update AFTER import to truly run on CPU (needed
+# for the 8-device virtual mesh and full-precision goldens).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
