@@ -51,19 +51,32 @@ def main():
     )
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
 
-    animator = Animator(model, variables, relative=True)
-    source = rng.rand(size, size, 3).astype(np.float32)
-    frames = [rng.rand(size, size, 3).astype(np.float32) for _ in range(8)]
+    from mrfa_tpu.ops.resize import AntiAliasParams, antialias_downsample
 
-    clip_state = animator.begin(source, frames[0], adapt_movement_scale=False)
-    # warmup / compile
-    out, _, _ = animator.animate_frame(clip_state, frames[0])
+    animator = Animator(model, variables, relative=True)
+    source = rng.rand(1, size, size, 3).astype(np.float32)
+    frames = [rng.rand(1, size, size, 3).astype(np.float32) for _ in range(4)]
+
+    # per-clip setup (hoisted out of the frame loop, as in serving)
+    src = jnp.asarray(source)
+    img_down = antialias_downsample(src, AntiAliasParams.create(0.25))
+    kp_source = animator._encode(animator.variables, src)
+    kp_d0 = animator._encode(animator.variables, jnp.asarray(frames[0]))
+    scale = jnp.float32(1.0)
+
+    def step(frame_np):
+        return animator._frame(
+            animator.variables, src, img_down, kp_source, kp_d0,
+            jnp.asarray(frame_np), scale,
+        )
+
+    out, _, _ = step(frames[0])  # warmup / compile
     jax.block_until_ready(out)
 
-    n_iters = 30
+    n_iters = 50
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out, _, _ = animator.animate_frame(clip_state, frames[i % len(frames)])
+        out, _, _ = step(frames[i % len(frames)])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = n_iters / dt

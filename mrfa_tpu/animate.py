@@ -156,3 +156,35 @@ class Animator:
             out, _, _ = self.animate_frame(clip_state, frame)
             predictions.append(np.asarray(out[0]))
         return predictions
+
+    def find_best_frame(self, source_image: np.ndarray, driving_video: np.ndarray) -> int:
+        """Driving frame whose pose best matches the source.
+
+        The reference's variant depends on an external face_alignment model
+        (and its caller is broken, /root/reference/demo.py:150-157); here the
+        model's own keypoint detector provides the pose distance — no extra
+        dependency, same intent: the best frame anchors relative animation.
+        """
+        kp_source = self.encode_kp(jnp.asarray(source_image)[None])["kp"]
+        kp_source = np.asarray(kp_source)[0]
+        best, best_idx = float("inf"), 0
+        for i, frame in enumerate(driving_video):
+            kp = np.asarray(self.encode_kp(jnp.asarray(frame)[None])["kp"])[0]
+            d = float(np.sum((kp - kp_source) ** 2))
+            if d < best:
+                best, best_idx = d, i
+        return best_idx
+
+    def make_animation_from_best_frame(
+        self,
+        source_image: np.ndarray,
+        driving_video: np.ndarray,
+        adapt_movement_scale: bool = False,
+    ) -> List[np.ndarray]:
+        """Animate forward and backward from the best-matching frame."""
+        i = self.find_best_frame(source_image, driving_video)
+        forward = driving_video[i:]
+        backward = driving_video[: i + 1][::-1]
+        preds_fwd = self.make_animation(source_image, forward, adapt_movement_scale)
+        preds_bwd = self.make_animation(source_image, backward, adapt_movement_scale)
+        return preds_bwd[::-1] + preds_fwd[1:]

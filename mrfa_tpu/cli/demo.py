@@ -39,6 +39,11 @@ def main(argv=None):
     parser.add_argument("--relative", dest="relative", action="store_true")
     parser.add_argument("--adapt_scale", dest="adapt_scale", action="store_true")
     parser.add_argument("--img_shape", default="256,256", type=lambda s: [int(x) for x in s.split(",")])
+    parser.add_argument(
+        "--find_best_frame", action="store_true",
+        help="anchor relative animation at the driving frame whose pose "
+             "best matches the source (model-keypoint distance)",
+    )
     parser.add_argument("--fps", type=int, default=25)
     parser.set_defaults(relative=True)
     args = parser.parse_args(argv)
@@ -78,15 +83,22 @@ def main(argv=None):
     driving_video = np.stack([resize_frame(f, shape) for f in driving_video])
 
     animator = Animator(model, variables, relative=args.relative)
-    predictions = animator.make_animation(
-        source_image, driving_video, adapt_movement_scale=args.adapt_scale
-    )
-    imageio.mimsave(
+    if args.find_best_frame:
+        predictions = animator.make_animation_from_best_frame(
+            source_image, driving_video, adapt_movement_scale=args.adapt_scale
+        )
+    else:
+        predictions = animator.make_animation(
+            source_image, driving_video, adapt_movement_scale=args.adapt_scale
+        )
+    from mrfa_tpu.utils.video import save_video
+
+    written = save_video(
         args.result_video,
         [(255 * np.clip(p, 0, 1)).astype(np.uint8) for p in predictions],
         fps=args.fps,
     )
-    print(f"saved {len(predictions)} frames to {args.result_video}")
+    print(f"saved {len(predictions)} frames to {written}")
 
 
 if __name__ == "__main__":

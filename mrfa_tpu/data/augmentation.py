@@ -113,12 +113,80 @@ class ColorJitter:
         return out
 
 
+class RandomRotation:
+    """Rotate all frames of a clip by one uniformly sampled angle (degrees)."""
+
+    def __init__(self, rng, degrees):
+        self.rng = rng
+        self.degrees = (-degrees, degrees) if np.isscalar(degrees) else tuple(degrees)
+
+    def __call__(self, clip: List[np.ndarray]) -> List[np.ndarray]:
+        from scipy.ndimage import rotate
+
+        angle = self.rng.uniform(self.degrees[0], self.degrees[1])
+        return [
+            np.clip(
+                rotate(img, angle, reshape=False, order=1, mode="constant"),
+                0.0, 1.0,
+            ).astype(np.float32)
+            for img in clip
+        ]
+
+
+class RandomResize:
+    """Rescale the whole clip by one uniformly sampled ratio."""
+
+    def __init__(self, rng, ratio):
+        self.rng = rng
+        self.ratio = tuple(ratio) if not np.isscalar(ratio) else (1 - ratio, 1 + ratio)
+
+    def __call__(self, clip: List[np.ndarray]) -> List[np.ndarray]:
+        from scipy.ndimage import zoom
+
+        scale = self.rng.uniform(self.ratio[0], self.ratio[1])
+        return [
+            np.clip(zoom(img, (scale, scale, 1), order=1), 0.0, 1.0).astype(np.float32)
+            for img in clip
+        ]
+
+
+class RandomCrop:
+    """Crop one random (h, w) window shared by all frames of the clip."""
+
+    def __init__(self, rng, size):
+        self.rng = rng
+        self.size = (size, size) if np.isscalar(size) else tuple(size)
+
+    def __call__(self, clip: List[np.ndarray]) -> List[np.ndarray]:
+        h, w = clip[0].shape[:2]
+        ch, cw = self.size
+        ch, cw = min(ch, h), min(cw, w)
+        y0 = self.rng.randint(0, h - ch + 1)
+        x0 = self.rng.randint(0, w - cw + 1)
+        return [img[y0 : y0 + ch, x0 : x0 + cw] for img in clip]
+
+
 class AllAugmentationTransform:
-    def __init__(self, rng=None, flip_param=None, jitter_param=None, **unused):
+    def __init__(
+        self,
+        rng=None,
+        flip_param=None,
+        rotation_param=None,
+        resize_param=None,
+        crop_param=None,
+        jitter_param=None,
+        **unused,
+    ):
         self.rng = rng if rng is not None else np.random.RandomState()
         self.transforms = []
         if flip_param is not None:
             self.transforms.append(RandomFlip(self.rng, **flip_param))
+        if rotation_param is not None:
+            self.transforms.append(RandomRotation(self.rng, **rotation_param))
+        if resize_param is not None:
+            self.transforms.append(RandomResize(self.rng, **resize_param))
+        if crop_param is not None:
+            self.transforms.append(RandomCrop(self.rng, **crop_param))
         if jitter_param is not None:
             self.transforms.append(ColorJitter(self.rng, **jitter_param))
 

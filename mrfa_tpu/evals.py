@@ -22,20 +22,11 @@ from mrfa_tpu.models.mrfa import MRFA
 from mrfa_tpu.utils.logger import Visualizer
 
 
-def _imsave(path, img):
-    try:
-        import imageio.v2 as imageio
-    except ImportError:  # pragma: no cover
-        import imageio
-    imageio.imsave(path, img)
+from mrfa_tpu.utils.video import save_image as _imsave, save_video
 
 
 def _mimsave(path, frames, fps=25):
-    try:
-        import imageio.v2 as imageio
-    except ImportError:  # pragma: no cover
-        import imageio
-    imageio.mimsave(path, frames, fps=fps)
+    save_video(path, frames, fps=fps)
 
 
 def reconstruction(

@@ -51,18 +51,24 @@ class LpipsVgg(nn.Module):
         shift = jnp.asarray([-0.030, -0.088, -0.188])
         scale = jnp.asarray([0.458, 0.448, 0.450])
 
+        convs = {
+            idx: conv2d(ch, 3, padding=1, name=f"features_{idx}")
+            for slice_convs in _VGG16_SLICES
+            for idx, ch in slice_convs
+        }
+
         def feats(img):
             img = 2.0 * img - 1.0
             img = (img - shift) / scale
             outs = []
             z = img
             prev = -1
-            for si, slice_convs in enumerate(_VGG16_SLICES):
-                for idx, ch in slice_convs:
+            for slice_convs in _VGG16_SLICES:
+                for idx, _ in slice_convs:
                     for p in range(prev + 1, idx):
                         if p in _VGG16_POOL_AFTER:
                             z = _max_pool2(z)
-                    z = conv2d(ch, 3, padding=1, name=f"features_{idx}")(z)
+                    z = convs[idx](z)
                     z = jax.nn.relu(z)
                     prev = idx
                 outs.append(z)

@@ -60,6 +60,21 @@ class KPDetector(nn.Module):
                 ),
                 name="jacobian",
             )
+        if self.estimate_occlusion:
+            # per-keypoint visibility head (present in the reference API,
+            # unused by the released configs)
+            from mrfa_tpu.nn.blocks import DownBlock2d
+
+            be = self.block_expansion
+            self.kp_occlusion_blocks = [
+                DownBlock2d(be, name="kp_occlusion_0"),
+                DownBlock2d(be * 2, name="kp_occlusion_1"),
+                DownBlock2d(be * 3, name="kp_occlusion_2"),
+                DownBlock2d(be * 4, name="kp_occlusion_3"),
+            ]
+            self.kp_occlusion_final = conv2d(
+                self.num_kp, 4, stride=4, padding=0, name="kp_occlusion_4"
+            )
         self._aa = AntiAliasParams.create(self.scale_factor)
 
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -76,6 +91,12 @@ class KPDetector(nn.Module):
             jacobian_map = self.jacobian(feature_map)  # (B, h', w', 4)
             jac = jnp.einsum("bhwk,bhwc->bkc", heatmap, jacobian_map)
             out["jacobian"] = jac.reshape(b, k, 2, 2)
+        if self.estimate_occlusion:
+            occ = feature_map
+            for blk in self.kp_occlusion_blocks:
+                occ = blk(occ, train)
+            occ = self.kp_occlusion_final(occ)
+            out["kp_occlusion"] = jax.nn.sigmoid(occ)
         return out
 
 

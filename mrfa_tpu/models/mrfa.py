@@ -84,9 +84,13 @@ class MRFA(nn.Module):
         if tp["bg_start"] < tp["num_epochs"]:
             self.bg_predictor = BGMotionPredictor(name="bg_predictor")
 
-        self.decoder = RaftFlow(**cfg["raft_flow"], name="decoder")
+        remat = tp.get("remat", False)
+        raft_kwargs = dict(cfg["raft_flow"])
+        raft_kwargs.setdefault("remat", remat)
+        self.decoder = RaftFlow(**raft_kwargs, name="decoder")
         if sum(self.loss_weights["perceptual"]) != 0:
-            self.vgg = Vgg19(name="vgg")
+            vgg_cls = nn.remat(Vgg19) if remat else Vgg19
+            self.vgg = vgg_cls(name="vgg")
         self._aa_down = AntiAliasParams.create(0.25)
         self._aa_scales = {
             s: AntiAliasParams.create(s) for s in self.scales

@@ -139,8 +139,11 @@ class RaftFlow(nn.Module):
                 self.size // 2: 128,
                 self.size: 64,
             }
-            self.kp = Hourglass(**(self.driving_encoder or {}), name="kp")
-            self.kp_img = Hourglass(**(self.source_encoder or {}), name="kp_img")
+            # remat trades recompute for activation memory in the unrolled
+            # refinement loop (training only; parameters are unaffected)
+            hourglass_cls = nn.remat(Hourglass) if self.remat else Hourglass
+            self.kp = hourglass_cls(**(self.driving_encoder or {}), name="kp")
+            self.kp_img = hourglass_cls(**(self.source_encoder or {}), name="kp_img")
             self.kp_head = conv2d(self.dim, 1, name="kp_head")
             self.kp_img_head = conv2d(self.dim, 1, name="kp_img_head")
             # learned positional embedding, stored in torch layout (1,K,h,w)
@@ -150,8 +153,10 @@ class RaftFlow(nn.Module):
                 _trunc_normal_init(0.02),
                 (1, self.num_kp, self.h, self.w),
             )
-            self.corr_enc = BasicMotionEncoder(name="corr_enc")
-            self.refine = RefineFlow(name="refine")
+            bme_cls = nn.remat(BasicMotionEncoder) if self.remat else BasicMotionEncoder
+            rf_cls = nn.remat(RefineFlow) if self.remat else RefineFlow
+            self.corr_enc = bme_cls(name="corr_enc")
+            self.refine = rf_cls(name="refine")
             self.to_context = [
                 conv2d(192, 1, name=f"to_context_{i}")
                 for i in range(self.total_iter)

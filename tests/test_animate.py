@@ -1,0 +1,93 @@
+"""Animation/serving surface tests (tiny fomm + prior_only model on CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mrfa_tpu.animate import Animator, normalize_kp
+from mrfa_tpu.models.mrfa import MRFA
+from mrfa_tpu.serving import AnimationServer
+
+from tests.test_train import SIZE, small_cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = small_cfg("fomm")
+    cfg["raft_flow"]["prior_only"] = True  # cheap decode path
+    model = MRFA(cfg)
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "equivariance": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = model.init(
+        rngs, dummy, dummy, train=True, compute_loss=True, use_bg=True
+    )
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    return model, variables
+
+
+class TestNormalizeKp:
+    def test_relative_math(self):
+        rng = np.random.RandomState(0)
+        mk = lambda s: {
+            "kp": jnp.asarray(np.tanh(rng.randn(1, 10, 2)).astype(np.float32)),
+            "jacobian": jnp.asarray(
+                (np.eye(2) + 0.1 * rng.randn(1, 10, 2, 2)).astype(np.float32)
+            ),
+        }
+        kp_s, kp_d, kp_d0 = mk(1), mk(2), mk(3)
+        out = normalize_kp(
+            kp_s, kp_d, kp_d0,
+            use_relative_movement=True, use_relative_jacobian=True,
+        )
+        expect = np.asarray(kp_s["kp"]) + (
+            np.asarray(kp_d["kp"]) - np.asarray(kp_d0["kp"])
+        )
+        np.testing.assert_allclose(np.asarray(out["kp"]), expect, atol=1e-6)
+        jd = np.asarray(kp_d["jacobian"]) @ np.linalg.inv(np.asarray(kp_d0["jacobian"]))
+        np.testing.assert_allclose(
+            np.asarray(out["jacobian"]), jd @ np.asarray(kp_s["jacobian"]), atol=1e-5
+        )
+
+    def test_absolute_passthrough(self):
+        kp = {"kp": jnp.zeros((1, 10, 2))}
+        out = normalize_kp(kp, kp, kp, use_relative_movement=False)
+        np.testing.assert_allclose(np.asarray(out["kp"]), 0.0)
+
+
+class TestAnimator:
+    def test_make_animation(self, tiny_model):
+        model, variables = tiny_model
+        animator = Animator(model, variables, relative=True)
+        rng = np.random.RandomState(1)
+        source = rng.rand(SIZE, SIZE, 3).astype(np.float32)
+        driving = rng.rand(3, SIZE, SIZE, 3).astype(np.float32)
+        preds = animator.make_animation(source, driving)
+        assert len(preds) == 3
+        assert preds[0].shape == (SIZE, SIZE, 3)
+        assert np.isfinite(preds[0]).all()
+
+    def test_find_best_frame(self, tiny_model):
+        model, variables = tiny_model
+        animator = Animator(model, variables)
+        rng = np.random.RandomState(2)
+        source = rng.rand(SIZE, SIZE, 3).astype(np.float32)
+        driving = np.stack([source] + [rng.rand(SIZE, SIZE, 3).astype(np.float32)] * 2)
+        # frame 0 IS the source -> best match must be 0
+        assert animator.find_best_frame(source, driving) == 0
+
+
+class TestServing:
+    def test_multi_stream(self, tiny_model):
+        model, variables = tiny_model
+        server = AnimationServer(model, variables)
+        rng = np.random.RandomState(3)
+        sources = rng.rand(2, SIZE, SIZE, 3).astype(np.float32)
+        first = rng.rand(2, SIZE, SIZE, 3).astype(np.float32)
+        state = server.open_streams(sources, first)
+        out = server.serve(state, first)
+        assert out.shape == (2, SIZE, SIZE, 3)
+        assert bool(jnp.isfinite(out).all())

@@ -179,6 +179,54 @@ class TestDenseMotionGolden:
         )
 
 
+class TestTPSDenseMotionGolden:
+    def test_tps_dense_motion(self):
+        from modules.dense_motion import TPSDenseMotionNetwork as RefTDM
+        from mrfa_tpu.models.dense_motion import TPSDenseMotionNetwork
+
+        cfg = dict(
+            block_expansion=64, max_features=1024, num_blocks=5,
+            scale_factor=0.25, num_tps=10, num_channels=3,
+        )
+        ref = RefTDM(**cfg).eval()
+        mod = TPSDenseMotionNetwork(**cfg)
+
+        rng = np.random.RandomState(21)
+        x = _img(1, SIZE, seed=22)
+        kp_d = np.tanh(rng.randn(1, 50, 2)).astype(np.float32)
+        kp_s = np.tanh(rng.randn(1, 50, 2)).astype(np.float32)
+        bg = (np.eye(3) + 0.05 * rng.randn(1, 3, 3)).astype(np.float32)
+        bg[:, 2, :] = [0, 0, 1]
+
+        kpd_j = {"kp": jnp.asarray(kp_d)}
+        kps_j = {"kp": jnp.asarray(kp_s)}
+        variables = mod.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), kpd_j, kps_j,
+            bg_param=jnp.asarray(bg),
+        )
+        merged, missing, unexpected = convert_and_merge(mod, variables, ref)
+        assert not missing, missing
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.tensor(to_nchw(x)),
+                {"kp": torch.tensor(kp_d)},
+                {"kp": torch.tensor(kp_s)},
+                bg_param=torch.tensor(bg),
+            )
+        out = mod.apply(merged, jnp.asarray(x), kpd_j, kps_j, bg_param=jnp.asarray(bg))
+        # TPS solve is f32 solver-order sensitive (see test_tps.py); the
+        # deformation field tolerance is correspondingly looser.
+        np.testing.assert_allclose(
+            np.asarray(out["deformation"]), ref_out["deformation"].numpy(), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["occlusion"]),
+            to_nhwc(ref_out["occlusion"].numpy()),
+            atol=5e-3,
+        )
+
+
 class TestTokenPoseGolden:
     def test_mtia_encoder(self):
         from modules.transformer.pose_tokenpose_b import get_pose_net
