@@ -28,50 +28,14 @@ from flax import linen as nn
 
 from mrfa_tpu.models.generator import OcclusionAwareGenerator
 from mrfa_tpu.nn.blocks import Hourglass, conv2d
-from mrfa_tpu.ops.corr import corr_block_lookup_fast
+from mrfa_tpu.ops.corr import (
+    corr_block_lookup,
+    corr_block_lookup_fast,
+    corr_window_offsets,
+)
 from mrfa_tpu.ops.grid import coords_grid, kp2gaussian
 from mrfa_tpu.ops.resize import avg_pool, resize_bilinear
 from mrfa_tpu.ops.sampler import grid_sample, sample_pixel
-
-
-def corr_window_offsets(radius: int = 3, dtype=jnp.float32) -> jnp.ndarray:
-    """(2r+1, 2r+1, 2) window offsets; x varies along the FIRST axis.
-
-    Preserves the reference's channel order: output channel c = i*(2r+1)+j
-    corresponds to sampling at (x + i - r, y + j - r).
-    """
-    d = jnp.arange(-radius, radius + 1, dtype=dtype)
-    ox = jnp.broadcast_to(d[:, None], (2 * radius + 1, 2 * radius + 1))
-    oy = jnp.broadcast_to(d[None, :], (2 * radius + 1, 2 * radius + 1))
-    return jnp.stack([ox, oy], axis=-1)
-
-
-def corr_block_lookup(
-    corr: jnp.ndarray,
-    coords: jnp.ndarray,
-    num_levels: int = 2,
-    radius: int = 3,
-) -> jnp.ndarray:
-    """RAFT-style correlation pyramid lookup.
-
-    Args:
-      corr: (BQ, hs, ws, 1) per-query correlation maps over the source axis.
-      coords: (BQ, 2) query center in level-0 source pixel coords (xy).
-
-    Returns:
-      (BQ, num_levels*(2r+1)^2) sampled correlation features.
-    """
-    offsets = corr_window_offsets(radius, dtype=coords.dtype)  # (7,7,2)
-    outs = []
-    cur = corr
-    for lvl in range(num_levels):
-        c = coords / (2.0**lvl)
-        window = c[:, None, None, :] + offsets[None]  # (BQ,7,7,2)
-        sampled = sample_pixel(cur, window)  # (BQ,7,7,1)
-        outs.append(sampled.reshape(coords.shape[0], -1))
-        if lvl + 1 < num_levels:
-            cur = avg_pool(cur, 2)
-    return jnp.concatenate(outs, axis=-1)
 
 
 class BasicMotionEncoder(nn.Module):
@@ -215,7 +179,13 @@ class RaftFlow(nn.Module):
         f_s = k_s.reshape(b, h * w, self.dim)
         f_d = q_d.reshape(b, h * w, self.dim)
         corr_volume = jnp.einsum("bic,bjc->bij", f_d, f_s) * self.scale
-        # (B, n_driving, n_source)
+        # (B, n_driving, n_source). Under a ('data','model') mesh the volume
+        # is sharded over the driving (query) axis: the einsum partitions
+        # with f_d row-sharded and f_s replicated (no collective), and every
+        # downstream pooling/lookup touches only local query rows.
+        from mrfa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, maybe_constrain
+
+        corr_volume = maybe_constrain(corr_volume, DATA_AXIS, MODEL_AXIS, None)
 
         # --- prior motion initialization (normalized -> pixel flow) ---
         id_grid64 = coords_grid(h, w, dtype=corr_volume.dtype)[None]
@@ -229,6 +199,7 @@ class RaftFlow(nn.Module):
 
         # corr volume viewed with the driving axis spatial: (B, hd, wd, n_src)
         corr_hw = corr_volume.reshape(b, h, w, h * w)
+        corr_hw = maybe_constrain(corr_hw, DATA_AXIS, MODEL_AXIS, None, None)
 
         out_warp_f: List[jnp.ndarray] = []
         out_occlusion: List[jnp.ndarray] = []

@@ -27,6 +27,50 @@ import jax
 import jax.numpy as jnp
 
 from mrfa_tpu.ops.resize import avg_pool
+from mrfa_tpu.ops.sampler import sample_pixel
+
+
+def corr_window_offsets(radius: int = 3, dtype=jnp.float32) -> jnp.ndarray:
+    """(2r+1, 2r+1, 2) window offsets; x varies along the FIRST axis.
+
+    Preserves the reference's channel order: output channel c = i*(2r+1)+j
+    corresponds to sampling at (x + i - r, y + j - r).
+    """
+    d = jnp.arange(-radius, radius + 1, dtype=dtype)
+    ox = jnp.broadcast_to(d[:, None], (2 * radius + 1, 2 * radius + 1))
+    oy = jnp.broadcast_to(d[None, :], (2 * radius + 1, 2 * radius + 1))
+    return jnp.stack([ox, oy], axis=-1)
+
+
+def corr_block_lookup(
+    corr: jnp.ndarray,
+    coords: jnp.ndarray,
+    num_levels: int = 2,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """Gather-based RAFT correlation pyramid lookup (reference formulation).
+
+    Args:
+      corr: (BQ, hs, ws, 1) per-query correlation maps over the source axis.
+      coords: (BQ, 2) query center in level-0 source pixel coords (xy).
+
+    Returns:
+      (BQ, num_levels*(2r+1)^2) sampled correlation features.
+
+    Used as the autodiff path (its vjp is a plain scatter-add) and as the
+    exactness oracle for the patch-slice fast path below.
+    """
+    offsets = corr_window_offsets(radius, dtype=coords.dtype)  # (7,7,2)
+    outs = []
+    cur = corr
+    for lvl in range(num_levels):
+        c = coords / (2.0**lvl)
+        window = c[:, None, None, :] + offsets[None]  # (BQ,7,7,2)
+        sampled = sample_pixel(cur, window)  # (BQ,7,7,1)
+        outs.append(sampled.reshape(coords.shape[0], -1))
+        if lvl + 1 < num_levels:
+            cur = avg_pool(cur, 2)
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _patch_lookup(corr: jnp.ndarray, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -78,21 +122,12 @@ def _patch_lookup(corr: jnp.ndarray, coords: jnp.ndarray, radius: int) -> jnp.nd
     return jnp.swapaxes(q, 1, 2).reshape(bq, win * win)
 
 
-def corr_block_lookup_fast(
+def _lookup_fast_impl(
     corr: jnp.ndarray,
     coords: jnp.ndarray,
     num_levels: int = 2,
     radius: int = 3,
 ) -> jnp.ndarray:
-    """RAFT correlation pyramid lookup via patch slicing.
-
-    Args:
-      corr: (BQ, hs, ws, 1) per-query correlation maps over the source axis.
-      coords: (BQ, 2) query centers in level-0 source pixel coords (xy).
-
-    Returns:
-      (BQ, num_levels*(2r+1)^2) features, identical to the gather-based path.
-    """
     cur = corr[..., 0]  # (BQ, H, W)
     outs = []
     for lvl in range(num_levels):
@@ -100,3 +135,36 @@ def corr_block_lookup_fast(
         if lvl + 1 < num_levels:
             cur = avg_pool(cur[..., None], 2)[..., 0]
     return jnp.concatenate(outs, axis=-1)
+
+
+@jax.custom_vjp
+def corr_block_lookup_fast(corr: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """RAFT correlation pyramid lookup via patch slicing (2 levels, r=3).
+
+    Args:
+      corr: (BQ, hs, ws, 1) per-query correlation maps over the source axis.
+      coords: (BQ, 2) query centers in level-0 source pixel coords (xy).
+
+    Returns:
+      (BQ, 98) features, identical to the gather-based path.
+
+    Custom VJP: the forward slices zero-padded patches (fast, but its naive
+    autodiff would hold ~1.6x-padded (BQ, 80, 80) residuals per refinement
+    iteration — an HBM blow-up in training); the backward instead linearizes
+    the gather formulation, whose vjp is a plain scatter-add into the
+    unpadded corr shape. Gradients are exact.
+    """
+    return _lookup_fast_impl(corr, coords)
+
+
+def _lookup_fwd(corr, coords):
+    return _lookup_fast_impl(corr, coords), (corr, coords)
+
+
+def _lookup_bwd(res, g):
+    corr, coords = res
+    _, vjp = jax.vjp(corr_block_lookup, corr, coords)
+    return vjp(g)
+
+
+corr_block_lookup_fast.defvjp(_lookup_fwd, _lookup_bwd)

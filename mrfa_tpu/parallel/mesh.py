@@ -58,3 +58,25 @@ def constrain_batch(tree: Any) -> Any:
     return jax.tree.map(
         lambda x: jax.lax.with_sharding_constraint(x, P(DATA_AXIS)), tree
     )
+
+
+def maybe_constrain(x, *spec):
+    """with_sharding_constraint(x, P(*spec)) iff the ambient mesh has the axes.
+
+    Lets model code annotate sequence/tensor shardings (e.g. the correlation
+    volume over the 'model' axis) without breaking single-mesh-axis or
+    no-mesh traces.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        axes = set(getattr(mesh, "axis_names", ()) or ())
+    except Exception:
+        return x
+    needed = {s for s in spec if s is not None}
+    if not needed or not needed.issubset(axes):
+        return x
+    sizes = dict(zip(mesh.axis_names, mesh.axis_sizes))
+    # skip degenerate single-slice axes (constraint would be a no-op)
+    if all(sizes.get(s, 1) == 1 for s in needed):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))

@@ -106,6 +106,7 @@ def train(
         checkpoint_freq=tp.get("checkpoint_freq", 100),
     )
 
+    jax.sharding.set_mesh(mesh)  # expose axes to in-model sharding constraints
     with mesh:
         for epoch in range(num_epochs):
             use_bg = epoch >= bg_start and bg_start < num_epochs

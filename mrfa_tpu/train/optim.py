@@ -39,9 +39,11 @@ def clip_inf_norm_subtrees(grads: Mapping[str, Any], max_norm: float) -> Dict[st
     return out
 
 
-def _subtree_mask(params: Mapping[str, Any], subtrees) -> Dict[str, Any]:
+def _subtree_labels(params: Mapping[str, Any], subtrees) -> Dict[str, Any]:
     return {
-        k: jax.tree.map(lambda _: k in subtrees, v) if isinstance(v, Mapping) else (k in subtrees)
+        k: jax.tree.map(lambda _: "on" if k in subtrees else "off", v)
+        if isinstance(v, Mapping)
+        else ("on" if k in subtrees else "off")
         for k, v in params.items()
     }
 
@@ -53,7 +55,13 @@ def make_optimizer(
     steps_per_epoch: int,
     subtrees,
 ) -> optax.GradientTransformation:
-    """Adam(0.5, 0.999) with MultiStep LR, masked to the given subtrees."""
+    """Adam(0.5, 0.999) + MultiStep LR on the given subtrees; zero elsewhere.
+
+    NB: optax.masked alone is WRONG here — it passes unmasked updates through
+    unchanged (i.e. raw gradients applied at lr=1). multi_transform routes the
+    complement to set_to_zero.
+    """
     sched = multistep_lr(lr, milestones_epochs, steps_per_epoch)
     tx = optax.adam(sched, b1=0.5, b2=0.999, eps=1e-8)
-    return optax.masked(tx, _subtree_mask(params, subtrees))
+    labels = _subtree_labels(params, subtrees)
+    return optax.multi_transform({"on": tx, "off": optax.set_to_zero()}, labels)
