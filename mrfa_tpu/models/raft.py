@@ -84,7 +84,8 @@ class RaftFlow(nn.Module):
     driving_encoder: Optional[Dict[str, Any]] = None
     source_encoder: Optional[Dict[str, Any]] = None
     remat: bool = False  # rematerialize loop iterations to save train memory
-    fast_lookup: bool = True  # patch-slice corr lookup (exact; see ops/corr.py)
+    fast_lookup: bool = True  # kept for config compat; see lookup_impl
+    lookup_impl: str = "auto"  # auto | pallas | xla | gather (all exact)
 
     def setup(self):
         self.scale = self.dim**-0.5
@@ -126,6 +127,28 @@ class RaftFlow(nn.Module):
                 for i in range(self.total_iter)
             ]
             self._channels = channels
+
+    def _lookup(self, corr_src, coords):
+        """Dispatch the correlation lookup implementation (all exact)."""
+        impl = self.lookup_impl
+        if not self.fast_lookup and impl == "auto":
+            impl = "gather"
+        if impl == "auto":
+            # Pallas on real TPU; patch-slice XLA elsewhere (incl. CPU tests)
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            impl = "pallas" if platform in ("tpu", "axon") else "xla"
+        if impl == "pallas" and corr_src.shape[0] % 8 != 0:
+            impl = "xla"
+        if impl == "pallas":
+            from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas
+
+            return corr_block_lookup_pallas(corr_src, coords)
+        if impl == "xla":
+            return corr_block_lookup_fast(corr_src, coords)
+        return corr_block_lookup(corr_src, coords)
 
     def _prior_only_forward(self, dense_motion, feature, img_full, train):
         flow = dense_motion["deformation"]  # (B,64,64,2) normalized
@@ -233,8 +256,7 @@ class RaftFlow(nn.Module):
             hq = pooled.shape[1]
             corr_src = pooled.reshape(b * hq * hq, self.h, self.w, 1)
             coords = (flow_sample + id_grid_sample) * scale  # (B,hq,hq,2)
-            lookup = corr_block_lookup_fast if self.fast_lookup else corr_block_lookup
-            corr = lookup(corr_src, coords.reshape(-1, 2))
+            corr = self._lookup(corr_src, coords.reshape(-1, 2))
             corr = corr.reshape(b, hq, hq, -1)  # (B,hq,hq,98)
             if i > self.basic_res_index:
                 corr = resize_bilinear(corr, res, align_corners=True)

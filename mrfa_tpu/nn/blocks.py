@@ -49,6 +49,8 @@ def conv2d(
     Unlike `Conv` (a wrapper submodule), this attaches parameters directly at
     `name`, matching torch's `<name>.weight` / `<name>.bias` paths.
     """
+    from mrfa_tpu.precision import get_compute_dtype
+
     ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
     pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     return nn.Conv(
@@ -59,15 +61,19 @@ def conv2d(
         feature_group_count=groups,
         use_bias=use_bias,
         kernel_init=torch_conv_kernel_init,
+        dtype=get_compute_dtype(),
         name=name,
     )
 
 
 def dense(features, use_bias=True, name=None):
+    from mrfa_tpu.precision import get_compute_dtype
+
     return nn.Dense(
         features=features,
         use_bias=use_bias,
         kernel_init=torch_conv_kernel_init,
+        dtype=get_compute_dtype(),
         name=name,
     )
 

@@ -1,0 +1,28 @@
+"""Pallas corr-lookup kernel: interpret-mode exactness vs the gather oracle."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrfa_tpu.ops.corr import corr_block_lookup
+from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_impl
+
+
+def test_pallas_lookup_matches_gather_interpret():
+    rng = np.random.RandomState(0)
+    bq = 24
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = np.stack(
+        [rng.uniform(-12, 76, bq), rng.uniform(-12, 76, bq)], -1
+    ).astype(np.float32)
+    coords[:4] = np.round(coords[:4])  # integer coords: fx = fy = 0 edge case
+    coords = jnp.asarray(coords)
+    ref = corr_block_lookup(corr, coords)
+    got = _corr_lookup_pallas_impl(corr, coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_lookup_oob_zero_interpret():
+    corr = jnp.ones((8, 64, 64, 1))
+    coords = jnp.asarray([[-50.0, 5.0]] * 4 + [[5.0, 500.0]] * 4)
+    out = np.asarray(_corr_lookup_pallas_impl(corr, coords, interpret=True))
+    np.testing.assert_allclose(out, 0.0)
