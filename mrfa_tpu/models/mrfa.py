@@ -89,7 +89,7 @@ class MRFA(nn.Module):
         raft_kwargs.setdefault("remat", remat)
         self.decoder = RaftFlow(**raft_kwargs, name="decoder")
         if sum(self.loss_weights["perceptual"]) != 0:
-            vgg_cls = nn.remat(Vgg19) if remat else Vgg19
+            vgg_cls = nn.remat(Vgg19) if remat else Vgg19  # __call__(x): no static args
             self.vgg = vgg_cls(name="vgg")
         self._aa_down = AntiAliasParams.create(0.25)
         self._aa_scales = {

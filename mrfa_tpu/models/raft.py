@@ -106,7 +106,9 @@ class RaftFlow(nn.Module):
             }
             # remat trades recompute for activation memory in the unrolled
             # refinement loop (training only; parameters are unaffected)
-            hourglass_cls = nn.remat(Hourglass) if self.remat else Hourglass
+            hourglass_cls = (
+                nn.remat(Hourglass, static_argnums=(2,)) if self.remat else Hourglass
+            )
             self.kp = hourglass_cls(**(self.driving_encoder or {}), name="kp")
             self.kp_img = hourglass_cls(**(self.source_encoder or {}), name="kp_img")
             self.kp_head = conv2d(self.dim, 1, name="kp_head")
