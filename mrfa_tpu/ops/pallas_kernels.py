@@ -7,10 +7,16 @@ through VMEM (auto double-buffered by the Pallas pipeline), pads once in a
 VMEM scratch, and emits both pyramid levels' 49-point windows directly —
 no HBM-side padded intermediates at all.
 
+Mosaic-specific shaping: the lane (last) dimension cannot be dynamically
+sliced or reshaped, so (a) maps are pre-transposed outside the kernel and the
+dynamic slice runs on sublanes (the x axis), (b) the 8 window columns are
+gathered by a one-hot selection matmul, and (c) outputs are written as 2-D
+(7, 7) tiles per level and flattened outside.
+
 Semantics are identical to ops/corr.corr_block_lookup (verified in
-tests/test_corr.py, interpret mode): zeros padding, reference window-channel
-order (x offset varies along the first window axis), two levels, radius 3.
-The backward pass reuses the gather formulation's vjp (exact, scatter-add).
+tests/test_corr.py + tests/test_pallas.py): zeros padding, reference window
+channel order (c = i*7 + j samples (x+i-3, y+j-3)), two levels, radius 3.
+The backward pass reuses the gather formulation's vjp (exact scatter-add).
 """
 from __future__ import annotations
 
@@ -28,11 +34,11 @@ PAD = 2 * RADIUS + 2  # clamp margin (see ops/corr.py derivation)
 QB = 8  # queries per grid step
 
 
-def _level_sample(scratch, cx, cy, size):
-    """Sample one level's 7x7 window from a zero-padded VMEM scratch.
+def _level_sample_t(scratch_t, cx, cy, size):
+    """7x7 window from a zero-padded TRANSPOSED map scratch (x rows, y cols).
 
-    scratch: (size+2*PAD, size+2*PAD) padded map; cx, cy: scalar float coords.
-    Returns (49,) in reference channel order.
+    Returns (7, 7) with [i, j] = bilinear sample at (x + i - r, y + j - r) —
+    the reference channel order after row-major flattening.
     """
     x0 = jnp.floor(cx)
     y0 = jnp.floor(cy)
@@ -42,34 +48,43 @@ def _level_sample(scratch, cx, cy, size):
     y0c = jnp.clip(y0, -(RADIUS + 2), size + RADIUS).astype(jnp.int32)
     sx = x0c + PAD - RADIUS
     sy = y0c + PAD - RADIUS
-    p8 = scratch[pl.ds(sy, PATCH), pl.ds(sx, PATCH)]  # (8, 8)
-    q = (
-        (1.0 - fx) * (1.0 - fy) * p8[:WIN, :WIN]
-        + fx * (1.0 - fy) * p8[:WIN, 1:]
-        + (1.0 - fx) * fy * p8[1:, :WIN]
-        + fx * fy * p8[1:, 1:]
-    )  # q[j, i] = sample at (x + i - r, y + j - r)
-    return q.T.reshape(WIN * WIN)
+    band = scratch_t[pl.ds(sx, PATCH), :]  # (8, size+2*PAD): rows = x
+    hpad = scratch_t.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (hpad, PATCH), 0)
+    sel_ids = sy + jax.lax.broadcasted_iota(jnp.int32, (hpad, PATCH), 1)
+    onehot = (col_ids == sel_ids).astype(band.dtype)  # (hpad, 8)
+    # one-hot selection; HIGHEST precision (bf16x3 passes, 24 mantissa bits)
+    # keeps the pass-through values bit-exact, unlike the default MXU path
+    p8t = jax.lax.dot_general(
+        band, onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    # p8t[i, j] = map[y0c-3+j, x0c-3+i]
+    return (
+        (1.0 - fx) * (1.0 - fy) * p8t[:WIN, :WIN]
+        + fx * (1.0 - fy) * p8t[1:, :WIN]
+        + (1.0 - fx) * fy * p8t[:WIN, 1:]
+        + fx * fy * p8t[1:, 1:]
+    )
 
 
-def _corr_lookup_kernel(coords_ref, c0_ref, c1_ref, out_ref, s0, s1):
-    # zero the scratch borders once; the interiors are overwritten per query
+def _corr_lookup_kernel(coords_ref, c0t_ref, c1t_ref, out_ref, s0, s1):
+    # zero the scratch borders once; interiors are overwritten per query
     @pl.when(pl.program_id(0) == 0)
     def _():
         s0[:, :] = jnp.zeros_like(s0)
         s1[:, :] = jnp.zeros_like(s1)
 
-    h0 = c0_ref.shape[1]
-    h1 = c1_ref.shape[1]
+    h0 = c0t_ref.shape[1]
+    h1 = c1t_ref.shape[1]
     for q in range(QB):  # static unroll over the query block
-        s0[pl.ds(PAD, h0), pl.ds(PAD, h0)] = c0_ref[q]
-        s1[pl.ds(PAD, h1), pl.ds(PAD, h1)] = c1_ref[q]
+        s0[pl.ds(PAD, h0), pl.ds(PAD, h0)] = c0t_ref[q]
+        s1[pl.ds(PAD, h1), pl.ds(PAD, h1)] = c1t_ref[q]
         cx = coords_ref[q, 0]
         cy = coords_ref[q, 1]
-        out_ref[q, 0:WIN * WIN] = _level_sample(s0, cx, cy, h0)
-        out_ref[q, WIN * WIN : 2 * WIN * WIN] = _level_sample(
-            s1, cx * 0.5, cy * 0.5, h1
-        )
+        out_ref[q, 0] = _level_sample_t(s0, cx, cy, h0)
+        out_ref[q, 1] = _level_sample_t(s1, cx * 0.5, cy * 0.5, h1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -77,8 +92,8 @@ def _corr_lookup_pallas_impl(corr, coords, interpret=False):
     from mrfa_tpu.ops.resize import avg_pool
 
     bq, h, w, _ = corr.shape
-    c0 = corr[..., 0]
-    c1 = avg_pool(corr, 2)[..., 0]  # level-1 pooled maps
+    c0t = jnp.transpose(corr[..., 0], (0, 2, 1))  # x-major maps
+    c1t = jnp.transpose(avg_pool(corr, 2)[..., 0], (0, 2, 1))
     assert bq % QB == 0, f"query count {bq} must be a multiple of {QB}"
     grid = (bq // QB,)
     out = pl.pallas_call(
@@ -86,22 +101,22 @@ def _corr_lookup_pallas_impl(corr, coords, interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec((QB, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, w, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (QB, h // 2, w // 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (QB, w // 2, h // 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (QB, 2 * WIN * WIN), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (QB, 2, WIN, WIN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bq, 2 * WIN * WIN), corr.dtype),
+        out_shape=jax.ShapeDtypeStruct((bq, 2, WIN, WIN), corr.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h + 2 * PAD, w + 2 * PAD), corr.dtype),
-            pltpu.VMEM((h // 2 + 2 * PAD, w // 2 + 2 * PAD), corr.dtype),
+            pltpu.VMEM((w + 2 * PAD, h + 2 * PAD), corr.dtype),
+            pltpu.VMEM((w // 2 + 2 * PAD, h // 2 + 2 * PAD), corr.dtype),
         ],
         interpret=interpret,
-    )(coords, c0, c1)
-    return out
+    )(coords, c0t, c1t)
+    return out.reshape(bq, 2 * WIN * WIN)
 
 
 @jax.custom_vjp
