@@ -136,12 +136,16 @@ class RaftFlow(nn.Module):
         if not self.fast_lookup and impl == "auto":
             impl = "gather"
         if impl == "auto":
-            # Pallas on real TPU; patch-slice XLA elsewhere (incl. CPU tests)
+            # Pallas on real TPU for large query counts; the fused XLA path
+            # wins below ~16k queries where the pallas_call fusion barrier +
+            # map pre-transpose dominate (measured on v5e: b=1 508 vs 499 fps;
+            # b=8 278 vs 1685 fps aggregate)
             try:
                 platform = jax.devices()[0].platform
             except Exception:
                 platform = "cpu"
-            impl = "pallas" if platform in ("tpu", "axon") else "xla"
+            on_tpu = platform in ("tpu", "axon")
+            impl = "pallas" if on_tpu and corr_src.shape[0] >= 16384 else "xla"
         if impl == "pallas" and corr_src.shape[0] % 8 != 0:
             impl = "xla"
         if impl == "pallas":
