@@ -46,9 +46,14 @@ def main():
         "equivariance": jax.random.PRNGKey(1),
         "dropout": jax.random.PRNGKey(2),
     }
-    variables = model.init(
-        rngs, dummy, dummy, train=True, compute_loss=True, use_bg=True
+    import functools
+
+    # jit the init: eager init is thousands of tiny ops (minutes over the
+    # dev-env device tunnel); one compiled graph takes seconds
+    init_fn = jax.jit(
+        functools.partial(model.init, train=True, compute_loss=True, use_bg=True)
     )
+    variables = init_fn(rngs, dummy, dummy)
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
 
     from mrfa_tpu.ops.resize import AntiAliasParams, antialias_downsample

@@ -37,12 +37,16 @@ def init_model_variables(model: MRFA, cfg: Dict[str, Any], seed: int = 0):
         "equivariance": jax.random.PRNGKey(seed + 1),
         "dropout": jax.random.PRNGKey(seed + 2),
     }
+    import functools
+
     tp = cfg["train_params"]
     use_bg = tp["bg_start"] < tp["num_epochs"]
-    variables = model.init(
-        rngs, dummy, dummy, train=True, compute_loss=True, use_bg=use_bg
+    init_fn = jax.jit(
+        functools.partial(
+            model.init, train=True, compute_loss=True, use_bg=use_bg
+        )
     )
-    return variables
+    return init_fn(rngs, dummy, dummy)
 
 
 def train(
