@@ -87,7 +87,11 @@ class MRFA(nn.Module):
         remat = tp.get("remat", False)
         raft_kwargs = dict(cfg["raft_flow"])
         raft_kwargs.setdefault("remat", remat)
-        self.decoder = RaftFlow(**raft_kwargs, name="decoder")
+        # whole-decoder rematerialization: the 6-iteration refinement loop's
+        # activations dominate training HBM; recompute them in the backward
+        # (args: self, kp_s, kp_d, dense_motion, img, img_full, train=6)
+        raft_cls = nn.remat(RaftFlow, static_argnums=(6,)) if remat else RaftFlow
+        self.decoder = raft_cls(**raft_kwargs, name="decoder")
         if sum(self.loss_weights["perceptual"]) != 0:
             vgg_cls = nn.remat(Vgg19) if remat else Vgg19  # __call__(x): no static args
             self.vgg = vgg_cls(name="vgg")
@@ -137,13 +141,14 @@ class MRFA(nn.Module):
             source, kp_d, kp_s, bg_param, dropout_flag, dropout_p, train
         )
 
+        # positional call: remat static_argnums indexes positional args
         gen, warp_img, occlusion = self.decoder(
             self.kp_for_decoder(kp_s),
             self.kp_for_decoder(kp_d),
             dense_motion,
-            img=img_down,
-            img_full=source,
-            train=train,
+            img_down,
+            source,
+            train,
         )
         # visualization strip: warped image followed by occlusion maps (as RGB)
         warp_vis = jnp.concatenate(
