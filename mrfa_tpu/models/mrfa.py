@@ -63,18 +63,40 @@ class MRFA(nn.Module):
         self.loss_weights = tp["loss_weights"]
         self.bg_start = tp["bg_start"]
 
+        remat = tp.get("remat", False)
+
+        def enc_cls(base):
+            # remat the kp encoder as a unit (runs 3x per train step: source,
+            # driving, equivariance-transformed); train flag is static arg 2
+            return nn.remat(base, static_argnums=(2,)) if remat else base
+
         if self.prior_model == "fomm":
-            self.encoder = KPDetector(**cfg["fomm_kp_detector"], name="encoder")
+            self.encoder = enc_cls(KPDetector)(
+                **cfg["fomm_kp_detector"], name="encoder"
+            )
             self.dense_motion = DenseMotionNetwork(
                 **cfg["dense_motion"], name="dense_motion"
             )
         elif self.prior_model == "tpsm":
-            self.encoder = TPSKPDetector(**cfg["tpsm_kp_detector"], name="encoder")
+            self.encoder = enc_cls(TPSKPDetector)(
+                **cfg["tpsm_kp_detector"], name="encoder"
+            )
             self.dense_motion = TPSDenseMotionNetwork(
                 **cfg["tpsm_dense_motion"], name="dense_motion"
             )
         elif self.prior_model == "mtia":
-            self.encoder = mtia_encoder_from_cfg(cfg["mtia_kp_detector"], name="encoder")
+            base = mtia_encoder_from_cfg(cfg["mtia_kp_detector"], name="encoder")
+            if remat:
+                self.encoder = nn.remat(TokenPoseB, static_argnums=(2,))(
+                    **{f: getattr(base, f) for f in (
+                        "num_keypoints", "dim", "depth", "heads", "mlp_ratio",
+                        "image_size", "patch_size", "base_channel",
+                        "estimate_jacobian",
+                    )},
+                    name="encoder",
+                )
+            else:
+                self.encoder = base
             self.dense_motion = DenseMotionNetwork(
                 **cfg["dense_motion"], name="dense_motion"
             )
@@ -101,7 +123,8 @@ class MRFA(nn.Module):
         }
 
     def encode_kp(self, image: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
-        return self.encoder(image, train=train)
+        # positional call: remat static_argnums indexes positional args
+        return self.encoder(image, train)
 
     def run_dense_motion(self, source, kp_d, kp_s, bg_param, dropout_flag, dropout_p, train):
         return self.dense_motion(
