@@ -35,10 +35,12 @@ from mrfa_tpu.ops.tps import (
 )
 
 
-def mtia_encoder_from_cfg(mtia_cfg: Dict[str, Any], name: str = "encoder") -> TokenPoseB:
+def mtia_encoder_from_cfg(
+    mtia_cfg: Dict[str, Any], name: str = "encoder", cls=TokenPoseB
+) -> TokenPoseB:
     """Build the MTIA TokenPose encoder from the caps-style MODEL config."""
     m = mtia_cfg["MODEL"]
-    return TokenPoseB(
+    return cls(
         num_keypoints=m["NUM_JOINTS"],
         dim=m["DIM"],
         depth=m["TRANSFORMER_DEPTH"],
@@ -85,18 +87,9 @@ class MRFA(nn.Module):
                 **cfg["tpsm_dense_motion"], name="dense_motion"
             )
         elif self.prior_model == "mtia":
-            base = mtia_encoder_from_cfg(cfg["mtia_kp_detector"], name="encoder")
-            if remat:
-                self.encoder = nn.remat(TokenPoseB, static_argnums=(2,))(
-                    **{f: getattr(base, f) for f in (
-                        "num_keypoints", "dim", "depth", "heads", "mlp_ratio",
-                        "image_size", "patch_size", "base_channel",
-                        "estimate_jacobian",
-                    )},
-                    name="encoder",
-                )
-            else:
-                self.encoder = base
+            self.encoder = mtia_encoder_from_cfg(
+                cfg["mtia_kp_detector"], name="encoder", cls=enc_cls(TokenPoseB)
+            )
             self.dense_motion = DenseMotionNetwork(
                 **cfg["dense_motion"], name="dense_motion"
             )
