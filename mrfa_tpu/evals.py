@@ -17,7 +17,7 @@ import numpy as np
 
 from mrfa_tpu.animate import Animator
 from mrfa_tpu.data.dataset import PairedDataset
-from mrfa_tpu.metrics import LpipsVgg, l1, psnr
+from mrfa_tpu.metrics import LpipsVgg
 from mrfa_tpu.models.mrfa import MRFA
 from mrfa_tpu.utils.logger import Visualizer
 
@@ -49,14 +49,23 @@ def reconstruction(
         dummy = jnp.zeros((1, size, size, 3))
         lpips_variables = lpips_mod.init(jax.random.PRNGKey(0), dummy, dummy)
 
+    # Frames are evaluated in fixed-size batches (source broadcast over the
+    # chunk; last chunk padded by repeating the final frame, pad metrics
+    # discarded). One compiled shape, one host transfer per chunk — vs the
+    # reference's strictly per-frame loop with 3 scalar syncs each
+    # (/root/reference/reconstruction.py:49-70).
+    frame_batch = int(config["reconstruction_params"].get("frame_batch", 8))
+
     @jax.jit
-    def eval_frame(variables, source, driving):
+    def eval_frames(variables, source, driving):
+        src = jnp.broadcast_to(source, driving.shape)
         gen, warp_vis, _, kp_s, kp_d = model.apply(
-            variables, source, driving, train=False
+            variables, src, driving, train=False
         )
-        m_l1 = l1(gen, driving)
-        m_psnr = psnr(gen, driving)
-        m_lpips = jnp.mean(lpips_mod.apply(lpips_variables, driving, gen))
+        m_l1 = jnp.mean(jnp.abs(gen - driving), axis=(1, 2, 3))
+        mse = jnp.mean((gen - driving) ** 2, axis=(1, 2, 3))
+        m_psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+        m_lpips = lpips_mod.apply(lpips_variables, driving, gen)  # (N,)
         return gen, warp_vis, kp_s, kp_d, m_l1, m_lpips, m_psnr
 
     visualizer = Visualizer(**(config.get("visualizer_params") or {}))
@@ -68,28 +77,35 @@ def reconstruction(
         if num_videos is not None and it > num_videos:
             break
         x = dataset[it]
-        video = x["video"]  # (T, H, W, 3)
-        source = jnp.asarray(video[0])[None]
+        video = np.asarray(x["video"])  # (T, H, W, 3)
+        T = video.shape[0]
+        source = jnp.asarray(video[:1])
         predictions, visualizations = [], []
-        for t in range(video.shape[0]):
-            driving = jnp.asarray(video[t])[None]
-            gen, warp_vis, kp_s, kp_d, m_l1, m_lpips, m_psnr = eval_frame(
-                variables, source, driving
-            )
-            loss_list.append(float(m_l1))
-            lpips_list.append(float(m_lpips))
-            psnr_list.append(float(m_psnr))
-            gen_np = np.asarray(gen[0])
-            predictions.append(gen_np)
+        for c0 in range(0, T, frame_batch):
+            chunk = video[c0 : c0 + frame_batch]
+            n_valid = chunk.shape[0]
+            if n_valid < frame_batch:  # pad to the compiled shape
+                pad = np.repeat(chunk[-1:], frame_batch - n_valid, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            driving = jnp.asarray(chunk)
+            out = eval_frames(variables, source, driving)
+            gen, warp_vis, kp_s, kp_d, m_l1, m_lpips, m_psnr = jax.device_get(out)
+            loss_list.extend(m_l1[:n_valid].tolist())
+            lpips_list.extend(m_lpips[:n_valid].tolist())
+            psnr_list.extend(m_psnr[:n_valid].tolist())
+            predictions.extend(gen[:n_valid])
             if save_visualizations:
-                vis = visualizer.visualize(
-                    source=np.asarray(source),
-                    driving=np.asarray(driving),
-                    out=np.concatenate([np.asarray(warp_vis), np.asarray(gen)], axis=2),
-                    kp_s=np.asarray(kp_s),
-                    kp_d=np.asarray(kp_d),
-                )
-                visualizations.append(vis)
+                for t in range(n_valid):
+                    vis = visualizer.visualize(
+                        source=np.asarray(source),
+                        driving=chunk[t : t + 1],
+                        out=np.concatenate(
+                            [warp_vis[t : t + 1], gen[t : t + 1]], axis=2
+                        ),
+                        kp_s=kp_s[t : t + 1],
+                        kp_d=kp_d[t : t + 1],
+                    )
+                    visualizations.append(vis)
         strip = np.concatenate(predictions, axis=1)
         _imsave(os.path.join(png_dir, x["name"] + ".png"),
                 (255 * np.clip(strip, 0, 1)).astype(np.uint8))

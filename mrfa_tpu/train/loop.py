@@ -49,6 +49,34 @@ def init_model_variables(model: MRFA, cfg: Dict[str, Any], seed: int = 0):
     return init_fn(rngs, dummy, dummy)
 
 
+def restore_train_state(checkpoint: str, state: TrainState):
+    """TRUE resume from an orbax checkpoint saved by the epoch loop.
+
+    Improves on /root/reference/train.py:27-32 (which restores params only,
+    restarting Adam moments and the LR schedule from zero): restores params,
+    batch_stats, BOTH optimizer states (the MultiStep LR position rides along
+    in the scale_by_schedule counts), the rng-folding step counter, and the
+    epoch. Returns (state, start_epoch) with start_epoch = saved epoch + 1.
+    """
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state_main": state.opt_state_main,
+        "opt_state_bg": state.opt_state_bg,
+        "epoch": 0,
+        "step": 0,
+    }
+    restored, _ = restore_checkpoint(checkpoint, target)
+    state = state.replace(
+        step=jnp.asarray(restored["step"], jnp.int32),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state_main=restored["opt_state_main"],
+        opt_state_bg=restored["opt_state_bg"],
+    )
+    return state, int(restored["epoch"]) + 1
+
+
 def train(
     config: Dict[str, Any],
     model: MRFA,
@@ -84,13 +112,12 @@ def train(
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
 
     variables = init_model_variables(model, config, seed)
-    if checkpoint is not None:
-        if checkpoint.endswith(".pth"):
-            variables, _, _ = load_torch_weights_into(
-                variables, checkpoint, drop_decoder_pos_embedding=True
-            )
-        else:
-            variables, _ = restore_checkpoint(checkpoint, variables)
+    if checkpoint is not None and checkpoint.endswith(".pth"):
+        # reference semantics (/root/reference/train.py:27-32): params only,
+        # drop decoder.pos_embedding, optimizer/epoch restart from scratch
+        variables, _, _ = load_torch_weights_into(
+            variables, checkpoint, drop_decoder_pos_embedding=True
+        )
 
     tx_main = make_optimizer(
         variables["params"], tp["lr"], tp["epoch_milestones"], steps_per_epoch,
@@ -102,6 +129,10 @@ def train(
     )
     state = create_train_state(variables, tx_main, tx_bg)
 
+    start_epoch = 0
+    if checkpoint is not None and not checkpoint.endswith(".pth"):
+        state, start_epoch = restore_train_state(checkpoint, state)
+
     steps = {}
     rng = jax.random.PRNGKey(seed + 1234)
     logger = Logger(
@@ -112,7 +143,7 @@ def train(
 
     jax.sharding.set_mesh(mesh)  # expose axes to in-model sharding constraints
     with mesh:
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             use_bg = epoch >= bg_start and bg_start < num_epochs
             if prior_model == "tpsm" and epoch < tp.get("dropout_epoch", 0):
                 dropout_flag = True
@@ -137,6 +168,9 @@ def train(
             t0 = time.time()
             last_batch = None
             last_extras = None
+            # metrics stay on device during the hot loop (no per-step blocking
+            # transfer); one device_get at epoch end feeds the logger
+            metric_buf = []
             for it, batch in enumerate(loader.epoch(epoch)):
                 if it >= steps_per_epoch:
                     break
@@ -146,13 +180,14 @@ def train(
                 state, metrics, extras = step_fn(
                     state, device_batch, rng, jnp.float32(dropout_p)
                 )
-                if jax.process_index() == 0:
-                    logger.log_iter(
-                        {k: v for k, v in metrics.items() if k != "loss"}
-                    )
+                metric_buf.append(
+                    {k: v for k, v in metrics.items() if k != "loss"}
+                )
                 last_batch, last_extras = device_batch, extras
 
             if jax.process_index() == 0:
+                for host_metrics in jax.device_get(metric_buf):
+                    logger.log_iter(host_metrics)
                 dt = time.time() - t0
                 print(f"epoch {epoch}: {steps_per_epoch} steps in {dt:.1f}s "
                       f"({steps_per_epoch * global_batch / max(dt, 1e-9):.2f} samples/s)")
@@ -183,6 +218,7 @@ def train(
                             "opt_state_main": state.opt_state_main,
                             "opt_state_bg": state.opt_state_bg,
                             "epoch": epoch,
+                            "step": int(state.step),
                         },
                         step=epoch,
                     )

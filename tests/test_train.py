@@ -84,6 +84,71 @@ class TestOptim:
         np.testing.assert_allclose(np.asarray(out["decoder"]["w"]), [100.0])
 
 
+class TestResume:
+    def test_restore_train_state_roundtrip(self, tmp_path):
+        """Kill-and-resume preserves Adam moments, LR-schedule position,
+        step counter, and epoch (beats /root/reference/train.py:27-32,
+        which restarts the optimizer)."""
+        import optax
+
+        from mrfa_tpu.train.loop import restore_train_state
+        from mrfa_tpu.utils.checkpoint import save_checkpoint
+
+        params = {
+            "encoder": {"w": jnp.ones((3, 3))},
+            "decoder": {"w": jnp.ones((2,))},
+            "dense_motion": {"w": jnp.ones((2,))},
+            "bg_predictor": {"w": jnp.ones((2,))},
+            "vgg": {"w": jnp.ones((2,))},
+        }
+        tx_main = make_optimizer(params, 2e-4, [60, 90], 10, MAIN_SUBTREES)
+        tx_bg = make_optimizer(params, 2e-4, [60, 90], 10, BG_SUBTREES)
+        state = create_train_state(
+            {"params": params, "batch_stats": {"bn": jnp.zeros((2,))}},
+            tx_main, tx_bg,
+        )
+        # take 3 optimizer steps so Adam moments + schedule counts are nonzero
+        grads = jax.tree.map(jnp.ones_like, params)
+        for _ in range(3):
+            upd, om = tx_main.update(grads, state.opt_state_main, state.params)
+            p = optax.apply_updates(state.params, upd)
+            upd, ob = tx_bg.update(grads, state.opt_state_bg, p)
+            p = optax.apply_updates(p, upd)
+            state = state.replace(
+                step=state.step + 1, params=p,
+                opt_state_main=om, opt_state_bg=ob,
+            )
+
+        save_checkpoint(
+            str(tmp_path / "ckpt"),
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state_main": state.opt_state_main,
+                "opt_state_bg": state.opt_state_bg,
+                "epoch": 7,
+                "step": int(state.step),
+            },
+            step=7,
+        )
+
+        fresh = create_train_state(
+            {"params": jax.tree.map(jnp.zeros_like, params),
+             "batch_stats": {"bn": jnp.ones((2,))}},
+            tx_main, tx_bg,
+        )
+        resumed, start_epoch = restore_train_state(str(tmp_path / "ckpt"), fresh)
+        assert start_epoch == 8
+        assert int(resumed.step) == 3
+        for got, want in zip(
+            jax.tree.leaves((resumed.params, resumed.batch_stats,
+                             resumed.opt_state_main, resumed.opt_state_bg)),
+            jax.tree.leaves((state.params, state.batch_stats,
+                             state.opt_state_main, state.opt_state_bg)),
+        ):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
 class TestTrainStep:
     @pytest.fixture(scope="class")
     def setup(self):
