@@ -43,8 +43,17 @@ def reconstruction(
     log_dir = os.path.join(log_dir, "reconstruction")
     os.makedirs(png_dir, exist_ok=True)
 
+    if lpips_variables is None:
+        from mrfa_tpu import weights as _weights
+
+        lpips_variables = _weights.lpips_variables()  # vendored, if converted
     lpips_mod = LpipsVgg(use_linear_weights=lpips_variables is not None)
     if lpips_variables is None:
+        print(
+            "warning: vendored LPIPS weights absent — using uniform-weight "
+            "fallback (comparable across runs of this framework only; see "
+            "mrfa_tpu/weights/__init__.py)"
+        )
         size = config["raft_flow"]["size"]
         dummy = jnp.zeros((1, size, size, 3))
         lpips_variables = lpips_mod.init(jax.random.PRNGKey(0), dummy, dummy)

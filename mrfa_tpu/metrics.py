@@ -41,13 +41,20 @@ _VGG16_POOL_AFTER = {4, 9, 16, 23}
 
 
 class LpipsVgg(nn.Module):
-    """LPIPS(net='vgg'): unit-normalized VGG16 features, per-channel weights."""
+    """LPIPS(net='vgg'): unit-normalized VGG16 features, per-channel weights.
+
+    `normalize=False` (default) matches the reference harness exactly: it
+    feeds [0,1] images straight into lpips's scaling layer, which expects
+    [-1,1] (/root/reference/reconstruction.py:69 passes raw tensors with the
+    lpips default normalize=False). `normalize=True` is the image-correct
+    variant (maps [0,1] -> [-1,1] first, lpips's own `normalize=True`).
+    """
 
     use_linear_weights: bool = True
+    normalize: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        # lpips scaling: input in [0,1] -> [-1,1] -> channel norm
         shift = jnp.asarray([-0.030, -0.088, -0.188])
         scale = jnp.asarray([0.458, 0.448, 0.450])
 
@@ -58,7 +65,8 @@ class LpipsVgg(nn.Module):
         }
 
         def feats(img):
-            img = 2.0 * img - 1.0
+            if self.normalize:
+                img = 2.0 * img - 1.0
             img = (img - shift) / scale
             outs = []
             z = img

@@ -99,14 +99,13 @@ class MRFA(nn.Module):
         if tp["bg_start"] < tp["num_epochs"]:
             self.bg_predictor = BGMotionPredictor(name="bg_predictor")
 
-        remat = tp.get("remat", False)
         raft_kwargs = dict(cfg["raft_flow"])
+        # remat granularity lives inside RaftFlow (per refinement iteration +
+        # generator encode/decode as units) — finer than whole-decoder remat,
+        # so the backward replays one iteration at a time instead of the
+        # entire 6-scale loop
         raft_kwargs.setdefault("remat", remat)
-        # whole-decoder rematerialization: the 6-iteration refinement loop's
-        # activations dominate training HBM; recompute them in the backward
-        # (args: self, kp_s, kp_d, dense_motion, img, img_full, train=6)
-        raft_cls = nn.remat(RaftFlow, static_argnums=(6,)) if remat else RaftFlow
-        self.decoder = raft_cls(**raft_kwargs, name="decoder")
+        self.decoder = RaftFlow(**raft_kwargs, name="decoder")
         if sum(self.loss_weights["perceptual"]) != 0:
             vgg_cls = nn.remat(Vgg19) if remat else Vgg19  # __call__(x): no static args
             self.vgg = vgg_cls(name="vgg")

@@ -120,10 +120,10 @@ class RaftFlow(nn.Module):
                 _trunc_normal_init(0.02),
                 (1, self.num_kp, self.h, self.w),
             )
-            bme_cls = nn.remat(BasicMotionEncoder) if self.remat else BasicMotionEncoder
-            rf_cls = nn.remat(RefineFlow) if self.remat else RefineFlow
-            self.corr_enc = bme_cls(name="corr_enc")
-            self.refine = rf_cls(name="refine")
+            # with remat=True whole refinement iterations are checkpointed
+            # (see _refine_iter below), which subsumes per-submodule remat
+            self.corr_enc = BasicMotionEncoder(name="corr_enc")
+            self.refine = RefineFlow(name="refine")
             self.to_context = [
                 conv2d(192, 1, name=f"to_context_{i}")
                 for i in range(self.total_iter)
@@ -155,6 +155,111 @@ class RaftFlow(nn.Module):
         if impl == "xla":
             return corr_block_lookup_fast(corr_src, coords)
         return corr_block_lookup(corr_src, coords)
+
+    def _refine_iter(
+        self,
+        i: int,
+        train: bool,
+        flow,
+        occlusion,
+        d_f_pre,
+        d_occ_pre,
+        corr_hw,
+        feature_i,
+        init_flow,
+        init_occlusion,
+        deformation,
+        occ_prior,
+    ):
+        """One refinement iteration (resolution (size//32)*2^i).
+
+        Packaged as a method so training can rematerialize whole iterations
+        (`nn.remat` in __call__): every intra-iteration activation — pooled
+        correlation slabs, the 98-channel lookups, motion features, refine
+        convs — is recomputed in the backward instead of living in HBM for
+        the rest of the forward. Iteration boundaries (flow/occlusion carries
+        and the per-scale outputs) are the only saved tensors.
+        """
+        b = flow.shape[0]
+        res = (self.size // 32) * (2**i)
+        id_grid = coords_grid(res, res, dtype=flow.dtype)[None]
+
+        # -- select query coords and the (possibly pooled) corr volume --
+        if i < self.basic_res_index:
+            f = 2 ** (self.basic_res_index - i)
+            pooled = avg_pool(corr_hw, f)  # (B,res,res,n_src) pooled driving
+            scale = float(f)
+            flow_sample, id_grid_sample = flow, id_grid
+        elif i == self.basic_res_index:
+            pooled = corr_hw
+            scale = 1.0
+            flow_sample, id_grid_sample = flow, id_grid
+        else:
+            pooled = corr_hw
+            scale = 1.0
+            flow_sample = resize_bilinear(flow, self.h, align_corners=True) * (
+                0.5 ** (i - self.basic_res_index)
+            )
+            id_grid_sample = coords_grid(self.h, self.w, dtype=flow.dtype)[None]
+
+        hq = pooled.shape[1]
+        corr_src = pooled.reshape(b * hq * hq, self.h, self.w, 1)
+        coords = (flow_sample + id_grid_sample) * scale  # (B,hq,hq,2)
+        corr = self._lookup(corr_src, coords.reshape(-1, 2))
+        corr = corr.reshape(b, hq, hq, -1)  # (B,hq,hq,98)
+        if i > self.basic_res_index:
+            corr = resize_bilinear(corr, res, align_corners=True)
+
+        m_f = self.corr_enc(flow, corr)
+        warp_f = sample_pixel(feature_i, flow + id_grid)
+        warp_f = jax.nn.relu(self.to_context[i](warp_f))
+
+        d_all, _ = self.refine(m_f, warp_f)
+        d_flow = d_all[..., 0:2]
+        d_occ = d_all[..., 2:3]
+        flow_w = flow + d_flow
+        occlusion = occlusion + d_occ
+
+        warp_f_out = sample_pixel(feature_i, flow_w + id_grid)
+        occ_out = jax.nn.sigmoid(occlusion)
+
+        # -- coarse branch: warp by the prior flow alone --
+        if i != self.basic_res_index:
+            flow_res = resize_bilinear(deformation, res, align_corners=True)
+            occlusion_res = resize_bilinear(occ_prior, res, align_corners=True)
+        else:
+            flow_res = deformation
+            occlusion_res = occ_prior
+        warp_f_c_out = grid_sample(feature_i, flow_res, align_corners=False)
+        occ_c_out = jax.nn.sigmoid(occlusion_res)
+
+        # -- telescoping upsample of deltas on top of the prior flow --
+        if i < self.total_iter - 1:
+            nxt = res * 2
+            scale_init = 2.0 ** (self.basic_res_index - i) / 2.0
+            d_f = resize_bilinear(d_flow, nxt, align_corners=True) * 2.0
+            flow = d_f + resize_bilinear(init_flow, nxt, align_corners=True) / scale_init
+            if d_f_pre is None:
+                d_f_pre = d_f
+            else:
+                up_pre = resize_bilinear(d_f_pre, nxt, align_corners=True) * 2.0
+                flow = flow + up_pre
+                d_f_pre = d_f + up_pre
+            d_occ_up = resize_bilinear(d_occ, nxt, align_corners=True)
+            occlusion = d_occ_up + resize_bilinear(
+                init_occlusion, nxt, align_corners=True
+            )
+            if d_occ_pre is None:
+                d_occ_pre = d_occ_up
+            else:
+                up_occ_pre = resize_bilinear(d_occ_pre, nxt, align_corners=True)
+                occlusion = occlusion + up_occ_pre
+                d_occ_pre = d_occ_up + up_occ_pre
+
+        return (
+            flow, occlusion, d_f_pre, d_occ_pre,
+            warp_f_out, occ_out, warp_f_c_out, occ_c_out,
+        )
 
     def _prior_only_forward(self, dense_motion, feature, img_full, train):
         flow = dense_motion["deformation"]  # (B,64,64,2) normalized
@@ -190,7 +295,15 @@ class RaftFlow(nn.Module):
         img_full: jnp.ndarray,
         train: bool = False,
     ):
-        feature = self.gen.encode(img_full, train)  # coarse->fine, 6 maps
+        # training memory: remat the generator encode/decode as units (their
+        # intra-block activations at up to size^2 resolution dominate; only
+        # the 6 pyramid maps / the decoded image are saved across them)
+        encode_fn = (
+            nn.remat(OcclusionAwareGenerator.encode, static_argnums=(2,))
+            if self.remat
+            else OcclusionAwareGenerator.encode
+        )
+        feature = encode_fn(self.gen, img_full, train)  # coarse->fine, 6 maps
 
         if self.prior_only:
             return self._prior_only_forward(dense_motion, feature, img_full, train)
@@ -237,94 +350,40 @@ class RaftFlow(nn.Module):
         d_f_pre = None
         d_occ_pre = None
 
+        # per-iteration rematerialization (training memory): i and train are
+        # static (args 1, 2 counting self as 0)
+        iter_fn = (
+            nn.remat(type(self)._refine_iter, static_argnums=(1, 2))
+            if self.remat
+            else type(self)._refine_iter
+        )
+
         for i in range(self.total_iter):
-            res = (self.size // 32) * (2**i)
-            id_grid = coords_grid(res, res, dtype=flow.dtype)[None]
-
-            # -- select query coords and the (possibly pooled) corr volume --
-            if i < self.basic_res_index:
-                f = 2 ** (self.basic_res_index - i)
-                pooled = avg_pool(corr_hw, f)  # (B,res,res,n_src) pooled driving
-                scale = float(f)
-                flow_sample, id_grid_sample = flow, id_grid
-            elif i == self.basic_res_index:
-                pooled = corr_hw
-                scale = 1.0
-                flow_sample, id_grid_sample = flow, id_grid
-            else:
-                pooled = corr_hw
-                scale = 1.0
-                flow_sample = resize_bilinear(flow, self.h, align_corners=True) * (
-                    0.5 ** (i - self.basic_res_index)
-                )
-                id_grid_sample = coords_grid(self.h, self.w, dtype=flow.dtype)[None]
-
-            hq = pooled.shape[1]
-            corr_src = pooled.reshape(b * hq * hq, self.h, self.w, 1)
-            coords = (flow_sample + id_grid_sample) * scale  # (B,hq,hq,2)
-            corr = self._lookup(corr_src, coords.reshape(-1, 2))
-            corr = corr.reshape(b, hq, hq, -1)  # (B,hq,hq,98)
-            if i > self.basic_res_index:
-                corr = resize_bilinear(corr, res, align_corners=True)
-
-            m_f = self.corr_enc(flow, corr)
-            warp_f = sample_pixel(feature[i], flow + id_grid)
-            warp_f = jax.nn.relu(self.to_context[i](warp_f))
-
-            d_all, _ = self.refine(m_f, warp_f)
-            d_flow = d_all[..., 0:2]
-            d_occ = d_all[..., 2:3]
-            flow_w = flow + d_flow
-            occlusion = occlusion + d_occ
-
-            out_warp_f.append(sample_pixel(feature[i], flow_w + id_grid))
-            out_occlusion.append(jax.nn.sigmoid(occlusion))
-
-            # -- coarse branch: warp by the prior flow alone --
-            if i != self.basic_res_index:
-                flow_res = resize_bilinear(
-                    dense_motion["deformation"], res, align_corners=True
-                )
-                occlusion_res = resize_bilinear(
-                    dense_motion["occlusion"], res, align_corners=True
-                )
-            else:
-                flow_res = dense_motion["deformation"]
-                occlusion_res = dense_motion["occlusion"]
-            out_warp_f_c.append(
-                grid_sample(feature[i], flow_res, align_corners=False)
+            (
+                flow, occlusion, d_f_pre, d_occ_pre,
+                warp_f_i, occ_i, warp_f_c_i, occ_c_i,
+            ) = iter_fn(
+                self, i, train, flow, occlusion, d_f_pre, d_occ_pre,
+                corr_hw, feature[i], init_flow, init_occlusion,
+                dense_motion["deformation"], dense_motion["occlusion"],
             )
-            out_occlusion_c.append(jax.nn.sigmoid(occlusion_res))
-
-            # -- telescoping upsample of deltas on top of the prior flow --
-            if i < self.total_iter - 1:
-                nxt = res * 2
-                scale_init = 2.0 ** (self.basic_res_index - i) / 2.0
-                d_f = resize_bilinear(d_flow, nxt, align_corners=True) * 2.0
-                flow = d_f + resize_bilinear(init_flow, nxt, align_corners=True) / scale_init
-                if d_f_pre is None:
-                    d_f_pre = d_f
-                else:
-                    up_pre = resize_bilinear(d_f_pre, nxt, align_corners=True) * 2.0
-                    flow = flow + up_pre
-                    d_f_pre = d_f + up_pre
-                d_occ_up = resize_bilinear(d_occ, nxt, align_corners=True)
-                occlusion = d_occ_up + resize_bilinear(
-                    init_occlusion, nxt, align_corners=True
-                )
-                if d_occ_pre is None:
-                    d_occ_pre = d_occ_up
-                else:
-                    up_occ_pre = resize_bilinear(d_occ_pre, nxt, align_corners=True)
-                    occlusion = occlusion + up_occ_pre
-                    d_occ_pre = d_occ_up + up_occ_pre
+            out_warp_f.append(warp_f_i)
+            out_occlusion.append(occ_i)
+            out_warp_f_c.append(warp_f_c_i)
+            out_occlusion_c.append(occ_c_i)
 
         # NB: matches the reference — the final warp uses the pre-refinement
         # flow of the last iteration (raft.py:302 uses `flow`, not `flow_w`)
+        id_grid = coords_grid(self.size, self.size, dtype=flow.dtype)[None]
         warp_img = sample_pixel(img_full, flow + id_grid)
-        out = self.gen.decode(
-            out_warp_f, warp_img, out_occlusion, out_warp_f_c, out_occlusion_c,
-            train=train,
+        decode_fn = (
+            nn.remat(OcclusionAwareGenerator.decode, static_argnums=(6,))
+            if self.remat
+            else OcclusionAwareGenerator.decode
+        )
+        out = decode_fn(
+            self.gen, out_warp_f, warp_img, out_occlusion,
+            out_warp_f_c, out_occlusion_c, train,
         )
 
         out_occlusion.append(jax.nn.sigmoid(init_occlusion))

@@ -92,6 +92,13 @@ def train(
     bg_start = tp["bg_start"]
     prior_model = tp["prior_model"]
 
+    # optional mixed-precision training (conv/matmul compute in bf16,
+    # geometry f32 — see mrfa_tpu/precision.py; default f32 = reference parity)
+    if tp.get("compute_dtype") in ("bf16", "bfloat16"):
+        from mrfa_tpu import precision
+
+        precision.set_compute_dtype(jnp.bfloat16)
+
     if tp.get("num_repeats", 1) != 1:
         dataset = DatasetRepeater(dataset, tp["num_repeats"])
 
@@ -112,6 +119,12 @@ def train(
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
 
     variables = init_model_variables(model, config, seed)
+    # perceptual loss runs on the ImageNet VGG19 when the vendored weights
+    # are present (reference: models.vgg19(pretrained=True), model.py:87);
+    # a .pth checkpoint restored below overrides them with its own vgg
+    from mrfa_tpu.weights import overlay_vgg19
+
+    variables = overlay_vgg19(variables)
     if checkpoint is not None and checkpoint.endswith(".pth"):
         # reference semantics (/root/reference/train.py:27-32): params only,
         # drop decoder.pos_embedding, optimizer/epoch restart from scratch

@@ -56,6 +56,29 @@ def restore_checkpoint(path: str, target: Dict[str, Any], step: Optional[int] = 
     return restored, step
 
 
+def remap_reference_keys(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference-MRFA-specific state_dict key fixups before conversion.
+
+    - `vgg.slice<k>.<i>.*` -> `vgg.features.<i>.*`: the reference Vgg19
+      repackages torchvision features into slice1..slice5 but keeps the
+      original feature indices as child names (/root/reference/modules/
+      model.py:88-102); our flax Vgg19 names convs features_<i> directly.
+    - drop non-parameter buffers with no flax counterpart: the antialias
+      gaussian kernels (`pyramid.downs.*.weight`, `down.weight` — recomputed
+      in ops/resize.py) and the Vgg19 mean/std constants.
+    """
+    import re
+
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        base = k[len("module."):] if k.startswith("module.") else k
+        if re.match(r"^(pyramid\.downs\.|down\.weight$|vgg\.(mean|std)$)", base):
+            continue
+        k = re.sub(r"vgg\.slice\d+\.", "vgg.features.", k)
+        out[k] = v
+    return out
+
+
 def load_torch_weights_into(
     variables: Dict[str, Any],
     pth_path: str,
@@ -71,6 +94,7 @@ def load_torch_weights_into(
     sd = load_torch_checkpoint(pth_path)
     if drop_decoder_pos_embedding:
         sd = {k: v for k, v in sd.items() if "decoder.pos_embedding" not in k}
+    sd = remap_reference_keys(sd)
     converted = convert_state_dict(sd)
     merged, missing, unexpected = merge_into(variables, converted, strict=strict)
     if verbose:
