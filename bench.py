@@ -3,35 +3,53 @@
 Measures the full per-frame serving step of the flagship (MTIA prior) model —
 driving keypoint encoding + relative normalization + dense motion + 6-step
 RaftFlow refinement + generator decode — as one fused jitted function,
-matching the reference's demo loop work (/root/reference/demo.py:55-72; the
-reference additionally re-syncs per frame, we measure steady-state device
-throughput with host round trip per frame).
+matching the reference's demo loop work (/root/reference/demo.py:55-72).
+
+MEASUREMENT HONESTY (round-2 fix): through the axon dev tunnel,
+`jax.block_until_ready` returns when work is *scheduled*, not when the device
+has executed it — timing dispatch rates instead of execution. (Round-1's
+570-623 fps numbers were this artifact; verified by chaining steps inside a
+single jit: the true rate matched the value-fetch rate, ~20 fps bf16 at
+round-2 start.) This bench therefore times N in-order dispatches and then
+fetches the LAST output's value: device execution is in-order, so the final
+value transfer bounds completion of all N steps.
+
+Serving precision is bf16 compute / f32 geometry (mrfa_tpu/precision.py,
+tested to <2% output delta). MRFA_BENCH_DTYPE=f32 for full precision.
 
 Baseline note: the reference publishes no frames/sec (BASELINE.md). The
 north-star target is >= 2x an A100's single-stream fps; an A100 running the
-PyTorch reference at 256px is estimated at ~45 fps (eager, unfused gathers),
-so vs_baseline is reported against 90 fps. This stands in until a measured
-A100 number exists.
+PyTorch reference at 256px is ESTIMATED at ~45 fps, so vs_baseline is
+reported against 90 fps (see PARITY.md caveats).
 
-Prints exactly one JSON line:
-  {"metric": "animation_fps_256px", "value": N, "unit": "frames/sec",
-   "vs_baseline": N}
+Prints exactly one JSON line.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_FPS = 90.0  # 2 x estimated A100 single-stream fps (see docstring)
+PEAK_FLOPS_BF16 = 197e12  # TPU v5e (device_kind "TPU v5 lite")
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_cfg
+    from mrfa_tpu import precision
+
+    dtype_flag = os.environ.get("MRFA_BENCH_DTYPE", "bf16")
+    if dtype_flag == "bf16":
+        precision.set_compute_dtype(jnp.bfloat16)
+
+    from __graft_entry__ import _enable_compilation_cache, _flagship_cfg
+
+    _enable_compilation_cache()
+
     from mrfa_tpu.animate import Animator
     from mrfa_tpu.models.mrfa import MRFA
 
@@ -60,38 +78,64 @@ def main():
 
     animator = Animator(model, variables, relative=True)
     source = rng.rand(1, size, size, 3).astype(np.float32)
-    frames = [rng.rand(1, size, size, 3).astype(np.float32) for _ in range(4)]
 
     # per-clip setup (hoisted out of the frame loop, as in serving)
     src = jnp.asarray(source)
     img_down = antialias_downsample(src, AntiAliasParams.create(0.25))
     kp_source = animator._encode(animator.variables, src)
-    kp_d0 = animator._encode(animator.variables, jnp.asarray(frames[0]))
+    frames = [
+        jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
+        for _ in range(8)
+    ]
+    kp_d0 = animator._encode(animator.variables, frames[0])
     scale = jnp.float32(1.0)
 
-    def step(frame_np):
-        return animator._frame(
+    # frame-step FLOPs from XLA's cost model (for the MFU estimate;
+    # validated exact on plain matmuls against the analytic count)
+    flops_per_frame = None
+    try:
+        lowered = animator._frame.lower(
             animator.variables, src, img_down, kp_source, kp_d0,
-            jnp.asarray(frame_np), scale,
+            frames[0], scale,
+        )
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops_per_frame = float(c.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    def step(frame):
+        return animator._frame(
+            animator.variables, src, img_down, kp_source, kp_d0, frame, scale,
         )
 
     out, _, _ = step(frames[0])  # warmup / compile
-    jax.block_until_ready(out)
+    _ = np.asarray(out)  # value fetch = true completion
 
-    n_iters = 50
+    n_iters = 60
     t0 = time.perf_counter()
     for i in range(n_iters):
         out, _, _ = step(frames[i % len(frames)])
-    jax.block_until_ready(out)
+    # device execution is in-order: materializing the LAST output's value
+    # bounds completion of all n_iters steps (block_until_ready alone lies
+    # through the tunnel — see module docstring)
+    checksum = float(np.asarray(out).mean())
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
-    print(json.dumps({
+    result = {
         "metric": "animation_fps_256px",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+        "dtype": dtype_flag,
+        "checksum": round(checksum, 4),
+    }
+    if flops_per_frame:
+        result["flops_per_frame"] = round(flops_per_frame)
+        result["mfu"] = round(flops_per_frame * fps / PEAK_FLOPS_BF16, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

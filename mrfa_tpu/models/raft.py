@@ -136,16 +136,18 @@ class RaftFlow(nn.Module):
         if not self.fast_lookup and impl == "auto":
             impl = "gather"
         if impl == "auto":
-            # Pallas on real TPU for large query counts; the fused XLA path
-            # wins below ~16k queries where the pallas_call fusion barrier +
-            # map pre-transpose dominate (measured on v5e: b=1 508 vs 499 fps;
-            # b=8 278 vs 1685 fps aggregate)
+            # Pallas on real TPU from 256 queries up. Honest per-op timing
+            # (value-fetch completion, v5e, 64x64 maps): BQ=256 1.1 vs 2.7ms,
+            # BQ=1024 2.5 vs 4.9ms, BQ=4096 4.2 vs 19.9ms (pallas vs XLA) —
+            # the XLA patch-slice path lowers its vmapped dynamic_slice to a
+            # serialized while loop on TPU. Round-1's >=16384 threshold was
+            # tuned on tunnel dispatch rates, not device execution.
             try:
                 platform = jax.devices()[0].platform
             except Exception:
                 platform = "cpu"
             on_tpu = platform in ("tpu", "axon")
-            impl = "pallas" if on_tpu and corr_src.shape[0] >= 16384 else "xla"
+            impl = "pallas" if on_tpu and corr_src.shape[0] >= 256 else "xla"
         if impl == "pallas" and corr_src.shape[0] % 8 != 0:
             impl = "xla"
         if impl == "pallas":

@@ -92,6 +92,10 @@ def _corr_lookup_pallas_impl(corr, coords, interpret=False):
     from mrfa_tpu.ops.resize import avg_pool
 
     bq, h, w, _ = corr.shape
+    # the kernel runs in f32: Mosaic cannot dynamic-slice 8 sublanes of a
+    # bf16 array (2-row packing); the boundary casts are bandwidth-trivial
+    in_dtype = corr.dtype
+    corr = corr.astype(jnp.float32)
     c0t = jnp.transpose(corr[..., 0], (0, 2, 1))  # x-major maps
     c1t = jnp.transpose(avg_pool(corr, 2)[..., 0], (0, 2, 1))
     assert bq % QB == 0, f"query count {bq} must be a multiple of {QB}"
@@ -116,7 +120,7 @@ def _corr_lookup_pallas_impl(corr, coords, interpret=False):
         ],
         interpret=interpret,
     )(coords, c0t, c1t)
-    return out.reshape(bq, 2 * WIN * WIN)
+    return out.reshape(bq, 2 * WIN * WIN).astype(in_dtype)
 
 
 @jax.custom_vjp
