@@ -148,8 +148,6 @@ class RaftFlow(nn.Module):
                 platform = "cpu"
             on_tpu = platform in ("tpu", "axon")
             impl = "pallas" if on_tpu and corr_src.shape[0] >= 256 else "xla"
-        if impl == "pallas" and corr_src.shape[0] % 8 != 0:
-            impl = "xla"
         if impl == "pallas":
             from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas
 

@@ -26,3 +26,31 @@ def test_pallas_lookup_oob_zero_interpret():
     coords = jnp.asarray([[-50.0, 5.0]] * 4 + [[5.0, 500.0]] * 4)
     out = np.asarray(_corr_lookup_pallas_impl(corr, coords, interpret=True))
     np.testing.assert_allclose(out, 0.0)
+
+
+def test_pallas_lookup_bwd_matches_gather_vjp_interpret():
+    """The fused backward kernel (per-query patch scatter + analytic coord
+    grads) must match the gather formulation's autodiff vjp exactly."""
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_bwd_impl
+
+    rng = np.random.RandomState(1)
+    bq = 16
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = np.stack(
+        [rng.uniform(-8, 72, bq), rng.uniform(-8, 72, bq)], -1
+    ).astype(np.float32)
+    coords = jnp.asarray(coords)
+    g = jnp.asarray(rng.randn(bq, 98).astype(np.float32))
+
+    _, vjp = jax.vjp(corr_block_lookup, corr, coords)
+    want_dcorr, want_dcoords = vjp(g)
+
+    got_dcorr, got_dcoords = _corr_lookup_pallas_bwd_impl(
+        corr, coords, g, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dcorr), np.asarray(want_dcorr), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dcoords), np.asarray(want_dcoords), atol=3e-4
+    )
