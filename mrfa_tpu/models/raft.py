@@ -130,8 +130,7 @@ class RaftFlow(nn.Module):
             ]
             self._channels = channels
 
-    def _lookup(self, corr_src, coords):
-        """Dispatch the correlation lookup implementation (all exact)."""
+    def _resolve_lookup_impl(self, bq: int) -> str:
         impl = self.lookup_impl
         if not self.fast_lookup and impl == "auto":
             impl = "gather"
@@ -147,7 +146,12 @@ class RaftFlow(nn.Module):
             except Exception:
                 platform = "cpu"
             on_tpu = platform in ("tpu", "axon")
-            impl = "pallas" if on_tpu and corr_src.shape[0] >= 256 else "xla"
+            impl = "pallas" if on_tpu and bq >= 256 else "xla"
+        return impl
+
+    def _lookup(self, corr_src, coords):
+        """Dispatch the correlation lookup implementation (all exact)."""
+        impl = self._resolve_lookup_impl(corr_src.shape[0])
         if impl == "pallas":
             from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas
 
