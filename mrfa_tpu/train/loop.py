@@ -103,8 +103,16 @@ def train(
         dataset = DatasetRepeater(dataset, tp["num_repeats"])
 
     n_proc = jax.process_count()
-    mesh = make_mesh()
     global_batch = tp["batch_size"]
+    if n_proc == 1:
+        # data axis must divide the batch placed on it (debug configs can
+        # have batch < device count); unused devices stay idle
+        import math
+
+        n_data = math.gcd(global_batch, jax.device_count())
+        mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+    else:
+        mesh = make_mesh()
     loader = BatchLoader(
         dataset,
         batch_size=global_batch // n_proc,
