@@ -99,22 +99,45 @@ class AntiAliasParams:
         return AntiAliasParams(scale=scale, factor=factor, kernel=kernel)
 
 
+@functools.lru_cache(maxsize=None)
+def _blur_matrix(size: int, sigma: float) -> np.ndarray:
+    """(size, size) band matrix of the zero-padded 1-D gaussian blur.
+
+    The reference's 2-D kernel (util.py:282-326 there) is the outer product
+    of this 1-D gaussian with itself (its joint normalization factors into
+    the per-axis sums), so blurring as two per-axis band matmuls is exact.
+    """
+    ksize = 2 * round(sigma * 4) + 1
+    ka = ksize // 2
+    i = np.arange(ksize, dtype=np.float64)
+    mean = (ksize - 1) / 2.0
+    k1 = np.exp(-((i - mean) ** 2) / (2.0 * sigma**2))
+    k1 /= k1.sum()
+    m = np.zeros((size, size), dtype=np.float32)
+    for o in range(size):
+        lo = max(0, o - ka)
+        hi = min(size, o + ka + 1)
+        m[o, lo:hi] = k1[lo - o + ka : hi - o + ka]
+    return m
+
+
 def antialias_downsample(x: jnp.ndarray, params: AntiAliasParams) -> jnp.ndarray:
-    """Gaussian blur (depthwise conv, zero pad) then nearest subsample."""
+    """Gaussian blur then nearest subsample, as two per-axis band matmuls.
+
+    A depthwise conv on a 3-channel image maps terribly onto the MXU
+    (profiled at 1.8 ms for a 256px blur on v5e); the band-matrix form is
+    the same math as resize_bilinear's matmul resizes and runs in ~0.1 ms.
+    """
     if params.kernel is None:
         return x
     b, h, w, c = x.shape
-    kh, kw = params.kernel.shape
-    ka = kh // 2
-    kb = ka  # kernel size is always odd with the reference's size rule
-    kern = jnp.asarray(params.kernel, dtype=x.dtype)
-    kern = jnp.broadcast_to(kern[:, :, None, None], (kh, kw, 1, c))
-    y = jax.lax.conv_general_dilated(
-        x,
-        kern,
-        window_strides=(1, 1),
-        padding=((ka, kb), (ka, kb)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    sigma = (1.0 / params.scale - 1.0) / 2.0
+    dt = x.dtype
+    mh = jnp.asarray(_blur_matrix(h, sigma), dtype=dt)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x)
+    if w == h:
+        mw = mh
+    else:
+        mw = jnp.asarray(_blur_matrix(w, sigma), dtype=dt)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y)
     return downsample_nearest(y, params.factor)
