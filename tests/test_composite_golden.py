@@ -28,10 +28,37 @@ def to_nchw(x):
     return np.transpose(x, (0, 3, 1, 2))
 
 
-def composite_cfg():
+MTIA_CFG = {
+    "MODEL": {
+        "ESTIMATE_JACOBIAN": True, "DATA_PREPROCESS": False,
+        "FIX_IMG2MOTION_ATTENTION": False, "TRANSFORMER_DEPTH": 12,
+        "TRANSFORMER_HEADS": 8, "DIM": 192, "INIT_WEIGHTS": False,
+        "NAME": "pose_tokenpose_b", "NUM_JOINTS": 10, "PRETRAINED": "",
+        "PATCH_SIZE": [4, 4], "IMAGE_SIZE": [SIZE, SIZE],
+        "HEATMAP_SIZE": [SIZE // 4, SIZE // 4], "TAG_PER_JOINT": True,
+        "HIDDEN_HEATMAP_DIM": -1, "NUM_BRANCHES": 1, "BASE_CHANNEL": 32,
+        "TRANSFORMER_MLP_RATIO": 3, "POS_EMBEDDING_TYPE": "sine-full",
+        "TEMPERATURE": 0.1, "TARGET_TYPE": "gaussian", "INIT": True,
+        "SIGMA": 2,
+        "EXTRA": {
+            "FINAL_CONV_KERNEL": 1,
+            "PRETRAINED_LAYERS": ["*"],
+            "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+                       "NUM_BLOCKS": [4, 4], "NUM_CHANNELS": [32, 64],
+                       "FUSE_METHOD": "SUM"},
+            "STAGE3": {"NUM_MODULES": 4, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+                       "NUM_BLOCKS": [4, 4, 4], "NUM_CHANNELS": [32, 64, 128],
+                       "FUSE_METHOD": "SUM"},
+        },
+    }
+}
+
+
+def composite_cfg(prior="fomm"):
     return {
+        "mtia_kp_detector": MTIA_CFG,
         "train_params": {
-            "prior_model": "fomm",
+            "prior_model": prior,
             "num_epochs": 100,
             "bg_start": 0,
             "epoch_milestones": [60, 90],
@@ -86,10 +113,11 @@ def _fixed_transform(seed=42):
     return theta, control_params
 
 
-@pytest.fixture(scope="module")
-def golden(tmp_path_factory):
+@pytest.fixture(scope="module", params=["fomm", "mtia"])
+def golden(request, tmp_path_factory):
     """Run the reference composite forward once (torch CPU, injected
-    transform), returning its outputs + pre/post state dicts."""
+    transform), returning its outputs + pre/post state dicts. Parametrized
+    over the FOMM and the flagship MTIA (HRNet + TokenPose) priors."""
     import modules.model as ref_model_mod
     from modules.util import convert_dict_to_attrit_dict
 
@@ -112,7 +140,7 @@ def golden(tmp_path_factory):
     ref_model_mod.Transform.__init__ = fixed_init
     try:
         torch.manual_seed(0)
-        cfg = composite_cfg()
+        cfg = composite_cfg(request.param)
         ref = ref_model_mod.MRFA(convert_dict_to_attrit_dict(cfg))
         ref.train()
         sd_before = {
