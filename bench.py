@@ -34,6 +34,7 @@ import numpy as np
 
 BASELINE_FPS = 90.0  # 2 x estimated A100 single-stream fps (see docstring)
 PEAK_FLOPS_BF16 = 197e12  # TPU v5e (device_kind "TPU v5 lite")
+PEAK_FLOPS_F32 = 98.5e12  # ~half the bf16 MXU rate
 
 
 def main():
@@ -133,8 +134,12 @@ def main():
         "checksum": round(checksum, 4),
     }
     if flops_per_frame:
+        # pick the peak-FLOPs denominator matching the bench dtype so the
+        # reported MFU is self-consistent (f32 runs use the ~half-rate peak)
+        peak = PEAK_FLOPS_BF16 if dtype_flag == "bf16" else PEAK_FLOPS_F32
         result["flops_per_frame"] = round(flops_per_frame)
-        result["mfu"] = round(flops_per_frame * fps / PEAK_FLOPS_BF16, 4)
+        result["mfu"] = round(flops_per_frame * fps / peak, 4)
+        result["peak_flops"] = peak
     print(json.dumps(result))
 
 

@@ -261,10 +261,13 @@ class PairedDataset:
 class BatchLoader:
     """Threaded prefetching batch loader (host side).
 
-    Replaces the reference's torch DataLoader worker pool: a sampler thread
-    assembles NHWC batches ahead of time into a bounded queue so device steps
-    overlap host decode. Per-process sharding for multi-host: pass
-    shard_index/num_shards.
+    Replaces the reference's torch DataLoader worker pool (8 workers,
+    /root/reference/train.py:40): num_workers producer threads assemble NHWC
+    batches ahead of time into bounded per-worker queues; the consumer pops
+    round-robin so batch ORDER is deterministic regardless of worker count.
+    Decode itself releases the GIL inside the native C codec (and its own
+    decode threads), so producer threads overlap for the real pipeline.
+    Per-process sharding for multi-host: pass shard_index/num_shards.
     """
 
     def __init__(
@@ -277,6 +280,7 @@ class BatchLoader:
         seed: int = 0,
         shard_index: int = 0,
         num_shards: int = 1,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -286,6 +290,7 @@ class BatchLoader:
         self.seed = seed
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.num_workers = max(1, int(num_workers))
 
     def _indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -300,11 +305,18 @@ class BatchLoader:
         nb = len(idx) // self.batch_size
         if not self.drop_last and len(idx) % self.batch_size:
             nb += 1
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.num_prefetch)
+        nw = min(self.num_workers, max(nb, 1))
         stop = object()
+        # per-worker bounded queues + round-robin pop: worker w produces
+        # batches w, w+nw, ... in order, so popping queue[b % nw] for
+        # b = 0..nb-1 restores the global batch order deterministically
+        queues = [
+            queue_mod.Queue(maxsize=max(1, self.num_prefetch))
+            for _ in range(nw)
+        ]
 
-        def worker():
-            for b in range(nb):
+        def worker(wid):
+            for b in range(wid, nb, nw):
                 chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
                 items = [self.dataset[int(i)] for i in chunk]
                 batch = {
@@ -312,16 +324,19 @@ class BatchLoader:
                     "driving": np.stack([it["driving"] for it in items]),
                     "name": [it["name"] for it in items],
                 }
-                q.put(batch)
-            q.put(stop)
+                queues[wid].put(batch)
+            queues[wid].put(stop)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(nw)
+        ]
+        for t in threads:
+            t.start()
+        for b in range(nb):
+            yield queues[b % nw].get()
+        for q in queues:  # drain the per-worker stop sentinels
+            q.get()
 
     def __len__(self):
         return len(self._indices(0)) // self.batch_size

@@ -48,11 +48,15 @@ def reconstruction(
 
         lpips_variables = _weights.lpips_variables()  # vendored, if converted
     lpips_mod = LpipsVgg(use_linear_weights=lpips_variables is not None)
-    if lpips_variables is None:
-        print(
-            "warning: vendored LPIPS weights absent — using uniform-weight "
+    lpips_fallback = lpips_variables is None
+    if lpips_fallback:
+        import warnings
+
+        warnings.warn(
+            "vendored LPIPS weights absent — using uniform-weight "
             "fallback (comparable across runs of this framework only; see "
-            "mrfa_tpu/weights/__init__.py)"
+            "mrfa_tpu/weights/__init__.py)",
+            stacklevel=2,
         )
         size = config["raft_flow"]["size"]
         dummy = jnp.zeros((1, size, size, 3))
@@ -126,6 +130,8 @@ def reconstruction(
         "lpips": float(np.mean(lpips_list)) if lpips_list else float("nan"),
         "psnr": float(np.mean(psnr_list)) if psnr_list else float("nan"),
         "frames": len(loss_list),
+        # record the metric provenance so the caveat travels with the numbers
+        "lpips_weights": "uniform-fallback" if lpips_fallback else "vendored",
     }
     print(f"Reconstruction loss (L1): {results['l1']}")
     print(f"lpips loss: {results['lpips']}")

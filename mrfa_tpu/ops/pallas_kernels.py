@@ -31,11 +31,10 @@ RADIUS = 3
 WIN = 2 * RADIUS + 1  # 7
 PATCH = 2 * RADIUS + 2  # 8
 PAD = 2 * RADIUS + 2  # clamp margin (see ops/corr.py derivation)
-# queries per grid step: large enough that per-step DMAs amortize their
-# issue overhead (measured at 4096 queries on v5e: fwd 42/3.4/3.4 ms and
-# bwd 40/6.7/6.6 ms for QB=8/16/32) — QB=16 hits the knee with half the
-# VMEM footprint of 32
-QB = 16
+# queries per grid step (tunable for probing via MRFA_LOOKUP_QB)
+import os as _os
+
+QB = int(_os.environ.get("MRFA_LOOKUP_QB", "16"))
 
 
 def _pad_queries(bq):
@@ -297,16 +296,379 @@ def _corr_lookup_pallas_bwd_impl(corr, coords, g, interpret=False):
     return d_corr, dc.astype(coords.dtype)
 
 
+# ---------------------------------------------------------------------------
+# v2: copy-free patch-extract / patch-scatter kernels
+#
+# The v1 kernels above copy every query's full map into a zero-padded VMEM
+# scratch before slicing (two VMEM->VMEM copies per query, ~70% of kernel
+# time by the round-2 device profile). v2 eliminates the copies:
+#   - maps are zero-padded on the SUBLANE (x) axis only, once, in XLA (a
+#     fused pad; lane layout untouched so no relayout), and handed to the
+#     kernel as a 2-D (BQ*(w+2*PAD), h) array so each query's band is a
+#     plain dynamic sublane slice of the streamed block,
+#   - lane-axis (y) out-of-bounds handling folds into the one-hot selection
+#     matmul for free (selector columns outside [0, h) match no row),
+#   - all per-query scalar math (floor/clip/fractions) is precomputed
+#     vectorized in XLA and read back as SMEM scalars,
+#   - the kernel emits raw (8, 8) integer patches; the bilinear blend (fwd)
+#     and the cotangent-patch build + coordinate grads (bwd) are vectorized
+#     XLA over all queries.
+# The backward scatter writes each query's widened (8, h) cotangent rows at
+# a dynamic sublane offset into its own zeroed padded slab — replacing the
+# v1 per-query (h, h) scatter matmuls that made the MXU latency-bound.
+# ---------------------------------------------------------------------------
+
+
+def _prep_level(coords, size):
+    """Vectorized per-query index math for one pyramid level (XLA side).
+
+    Returns (trow, tcol, fx, fy):
+      trow (BQ, 8) int32 — per-(query, y-tap) SOURCE ROW target inside the
+        query's in-block slab: (q % QB) * size + (y0 - 3 + jy), or -1 when
+        the tap row is out of bounds (the one-hot then selects nothing).
+      tcol (BQ, 8) int32 — per-(query, x-tap) column target x0 - 3 + jx
+        (OOB values select no column).
+      fx, fy (BQ,) — bilinear fractions.
+    """
+    cx = coords[:, 0]
+    cy = coords[:, 1]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0).astype(jnp.float32)
+    fy = (cy - y0).astype(jnp.float32)
+    x0c = jnp.clip(x0, -(RADIUS + 2), size + RADIUS).astype(jnp.int32)
+    y0c = jnp.clip(y0, -(RADIUS + 2), size + RADIUS).astype(jnp.int32)
+    off8 = jnp.arange(PATCH, dtype=jnp.int32)
+    bq = coords.shape[0]
+    qb = (jnp.arange(bq, dtype=jnp.int32) % QB)[:, None]
+    yy = (y0c - RADIUS)[:, None] + off8[None, :]  # (BQ, 8) tap rows
+    trow = jnp.where((yy >= 0) & (yy < size), qb * size + yy, -1)
+    tcol = (x0c - RADIUS)[:, None] + off8[None, :]
+    return trow, tcol, fx, fy
+
+
+def _maps_2d(corr32):
+    """Both pyramid levels as flat (BQ*size, size) row stacks — zero-copy
+    for level 0 (a reshape of the native NHWC maps), one avg_pool for
+    level 1. No transposes, no padding: out-of-bounds handling lives in
+    the one-hot selection targets.
+    """
+    from mrfa_tpu.ops.resize import avg_pool
+
+    bq, h, w, _ = corr32.shape
+    c0 = corr32[..., 0].reshape(bq * h, w)
+    c1 = avg_pool(corr32, 2)[..., 0].reshape(bq * (h // 2), w // 2)
+    return c0, c1, h, w
+
+
+def _onehot_cols(ybase, size, dtype):
+    """(size, PATCH) one-hot: row y selects column j iff y == ybase + j."""
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (size, PATCH), 0)
+    sel_ids = ybase + jax.lax.broadcasted_iota(jnp.int32, (size, PATCH), 1)
+    return (col_ids == sel_ids).astype(dtype)
+
+
+def _block_diag_mask(n, dtype):
+    """(QB*8, QB*8) mask keeping the per-query diagonal 8x8 blocks."""
+    rq = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // PATCH
+    cq = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // PATCH
+    return (rq == cq).astype(dtype)
+
+
+def _diag_gather(n, dtype):
+    """(QB*8, 8): D[q*8+j, j] = 1 — extracts/expands per-query 8-columns."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, PATCH), 0) % PATCH
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, PATCH), 1)
+    return (r == c).astype(dtype)
+
+
+def _colsel(tgt_row, w, dtype):
+    """(w, QB*8) selection: S[x, c] = (x == tgt[c]); OOB targets drop."""
+    x_ids = jax.lax.broadcasted_iota(jnp.int32, (w, tgt_row.shape[0]), 0)
+    return (x_ids == tgt_row[None, :]).astype(dtype)
+
+
+def _rowsel(trow_col, nrows, dtype):
+    """(n, nrows) one-hot row selection: R[r, src] = (src == trow[r]).
+
+    trow_col is an (n, 1) int32 column; -1 targets select nothing.
+    """
+    src_ids = jax.lax.broadcasted_iota(jnp.int32, (trow_col.shape[0], nrows), 1)
+    return (src_ids == trow_col).astype(dtype)
+
+
+def _patch_extract_kernel(tr0_ref, tr1_ref, t0_ref, t1_ref, c0_ref, c1_ref, out_ref):
+    """Fully matmul-form patch extraction — zero dynamic slices.
+
+    Per-query dynamic-offset VMEM slices cost ~350 ns each on v5e and
+    dominated every slice-based variant (~700 ns/query regardless of how
+    little else the kernel did). Here ALL selection is one-hot matmuls over
+    the whole 16-query block:
+      bands   = rowsel (n, QB*h) @ maps (QB*h, w)          [y taps, 1 MXU op]
+      p_full  = bands @ colsel (w, n)                      [x taps, 1 MXU op]
+      patches = (p_full * blockdiag_mask) @ diag_gather    [1 MXU op]
+    The mask keeps each query's own 8 columns. OOB taps carry target -1 /
+    out-of-range and select nothing -> exact grid_sample zeros semantics,
+    with NO map padding (level-0 maps stream zero-copy from the NHWC
+    correlation stack). HIGHEST precision keeps f32 pass-through exact.
+
+    tr0/tr1_ref: (QB*8, 1) int32 per-(query, y-tap) source-row targets.
+    t0/t1_ref: (n_blocks, QB*8) int32 x-targets (resident; row = block).
+    out_ref: (2, QB*8, 8): out[l, q*8+j_y, i_x] = tap value of level l at
+      (x0-3+i_x, y0-3+j_y); zeros when out of bounds.
+    """
+    n = QB * PATCH
+    blk = pl.program_id(0)
+    mask = _block_diag_mask(n, jnp.float32)
+    dg = _diag_gather(n, jnp.float32)
+    for l, (tr_ref, tc_ref, c_ref) in enumerate(
+        ((tr0_ref, t0_ref, c0_ref), (tr1_ref, t1_ref, c1_ref))
+    ):
+        w = c_ref.shape[1]
+        bands = jax.lax.dot_general(
+            _rowsel(tr_ref[:, :], c_ref.shape[0], jnp.float32), c_ref[:, :],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (n, w): bands[q*8+jy, :] = map_q row (y0-3+jy), zeros if OOB
+        tgt = tc_ref[pl.ds(blk, 1), :][0, :]  # (n,) this block's x targets
+        p_full = jax.lax.dot_general(
+            bands, _colsel(tgt, w, jnp.float32),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (n, n)
+        out_ref[l] = jax.lax.dot_general(
+            p_full * mask, dg, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (n, 8)
+
+
+def _prep_targets(corr32, coords):
+    """Shared XLA-side prep for both kernels: flat maps + padded targets.
+
+    Returns (c0, c1, tr0, tr1, t0, t1, fx, fy, h, w, bq_p) with targets
+    query-padded and laid out for the kernels' block specs.
+    """
+    bq, h, w, _ = corr32.shape
+    assert h == w, "correlation maps must be square (RaftFlow invariant)"
+    c0, c1, h, w = _maps_2d(corr32)
+    tr0, tc0, fx0, fy0 = _prep_level(coords, h)
+    tr1, tc1, fx1, fy1 = _prep_level(coords * 0.5, h // 2)
+    bq_p, qpad = _pad_queries(bq)
+    if qpad:
+        # pad targets with -1 (select nothing -> zero patches / no scatter)
+        pad8 = ((0, qpad), (0, 0))
+        tr0 = jnp.pad(tr0, pad8, constant_values=-1)
+        tr1 = jnp.pad(tr1, pad8, constant_values=-1)
+        tc0 = jnp.pad(tc0, pad8, constant_values=-1)
+        tc1 = jnp.pad(tc1, pad8, constant_values=-1)
+        c0 = jnp.pad(c0, ((0, qpad * h), (0, 0)))
+        c1 = jnp.pad(c1, ((0, qpad * (h // 2)), (0, 0)))
+    n = QB * PATCH
+    tr0 = tr0.reshape(-1, 1)  # (BQ_p*8, 1) column layout for the kernel
+    tr1 = tr1.reshape(-1, 1)
+    t0 = tc0.reshape(-1, n)  # (n_blocks, QB*8)
+    t1 = tc1.reshape(-1, n)
+    fx = jnp.stack([fx0, fx1], axis=-1)
+    fy = jnp.stack([fy0, fy1], axis=-1)
+    return c0, c1, tr0, tr1, t0, t1, fx, fy, h, w, bq_p
+
+
+def _extract_patches(corr32, coords, interpret=False):
+    """Run the patch-extract kernel; returns (p8, fx, fy) with
+    p8 (BQ, 2, 8, 8) in [y, x] patch layout and fx/fy (BQ, 2) per-level
+    bilinear fractions."""
+    bq = corr32.shape[0]
+    c0, c1, tr0, tr1, t0, t1, fx, fy, h, w, bq_p = _prep_targets(corr32, coords)
+    n = QB * PATCH
+    nblk = bq_p // QB
+    stacked = pl.pallas_call(
+        _patch_extract_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB * h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (QB * (h // 2), w // 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, n, PATCH), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, bq_p * PATCH, PATCH), jnp.float32),
+        interpret=interpret,
+    )(tr0, tr1, t0, t1, c0, c1)
+    p8 = jnp.swapaxes(
+        stacked.reshape(2, bq_p, PATCH, PATCH)[:, :bq], 0, 1
+    )  # (BQ, 2, 8, 8)
+    return p8, fx, fy
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _corr_lookup_pallas_v2_impl(corr, coords, interpret=False):
+    in_dtype = corr.dtype
+    p8, fx, fy = _extract_patches(corr.astype(jnp.float32), coords, interpret)
+    # bilinear blend over all queries/levels at once (pure VPU, one fusion);
+    # p8 is [y, x]: fy blends the sublane (j) axis, fx the lane (i) axis
+    w00 = ((1.0 - fx) * (1.0 - fy))[..., None, None]
+    wx = (fx * (1.0 - fy))[..., None, None]
+    wy = ((1.0 - fx) * fy)[..., None, None]
+    w11 = (fx * fy)[..., None, None]
+    out = (
+        w00 * p8[..., :WIN, :WIN]
+        + wx * p8[..., :WIN, 1:]
+        + wy * p8[..., 1:, :WIN]
+        + w11 * p8[..., 1:, 1:]
+    )  # (BQ, 2, 7, 7) [y, x]
+    # reference channel order is x-major (c = i*7 + j): swap to [x, y]
+    out = jnp.swapaxes(out, -1, -2)
+    return out.reshape(coords.shape[0], 2 * WIN * WIN).astype(in_dtype)
+
+
+def _patch_scatter_kernel(tr0_ref, tr1_ref, t0_ref, t1_ref, d8_ref, d0_ref, d1_ref):
+    """Matmul-form cotangent scatter (exact transpose of the extract kernel).
+
+    All 16 queries' (8, 8) cotangent patches are widened over the x axis
+    (expand 8 columns -> block columns, mask the block-diagonal, multiply
+    by colsel^T; x-OOB targets drop), then scattered over y by the
+    TRANSPOSED row-selection matmul — which also writes the zeros
+    everywhere else, so no zeroing pass and no dynamic writes exist.
+
+    d8_ref: (2, QB*8, 8) stacked cotangent patches ([y, x] layout).
+    d0/d1_ref: (QB*size, size) per-query cotangent maps (unpadded).
+    """
+    n = QB * PATCH
+    blk = pl.program_id(0)
+    mask = _block_diag_mask(n, jnp.float32)
+    dg = _diag_gather(n, jnp.float32)
+    for l, (tr_ref, tc_ref, dref) in enumerate(
+        ((tr0_ref, t0_ref, d0_ref), (tr1_ref, t1_ref, d1_ref))
+    ):
+        w = dref.shape[1]
+        tgt = tc_ref[pl.ds(blk, 1), :][0, :]  # (n,) this block's x targets
+        expand = jax.lax.dot_general(
+            d8_ref[l], dg, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (n, n): expand[q*8+jy, c] = d8[l, q*8+jy, c % 8]
+        widened = jax.lax.dot_general(
+            expand * mask, _colsel(tgt, w, jnp.float32),
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (n, w): widened[q*8+jy, x] = d8_q[jy, jx] at x = x0-3+jx
+        dref[:, :] = jax.lax.dot_general(
+            _rowsel(tr_ref[:, :], dref.shape[0], jnp.float32), widened,
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (QB*size, w): d[src, x] = widened[r, x] where trow[r] = src
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _corr_lookup_pallas_v2_bwd_impl(corr, coords, g, interpret=False):
+    bq, h, w, _ = corr.shape
+    corr32 = corr.astype(jnp.float32)
+    # g arrives x-major (reference channel order); swap to the kernel's
+    # native [y, x] patch layout
+    g = jnp.swapaxes(
+        g.astype(jnp.float32).reshape(bq, 2, WIN, WIN), -1, -2
+    )
+
+    # recompute the integer patches (cheap) for the coordinate gradients
+    p8, fx, fy = _extract_patches(corr32, coords, interpret)
+    fxb = fx[..., None, None]
+    fyb = fy[..., None, None]
+    # a.e. derivatives of the bilinear blend (standard grid_sample vjp);
+    # p8 is [y, x]: x-differences run along lanes, y along sublanes
+    ddx = (1.0 - fyb) * (p8[..., :WIN, 1:] - p8[..., :WIN, :WIN]) + fyb * (
+        p8[..., 1:, 1:] - p8[..., 1:, :WIN]
+    )
+    ddy = (1.0 - fxb) * (p8[..., 1:, :WIN] - p8[..., :WIN, :WIN]) + fxb * (
+        p8[..., 1:, 1:] - p8[..., :WIN, 1:]
+    )
+    dcxl = jnp.sum(g * ddx, axis=(-1, -2))  # (BQ, 2) per-level dcx
+    dcyl = jnp.sum(g * ddy, axis=(-1, -2))
+    dc = jnp.stack(
+        [dcxl[:, 0] + 0.5 * dcxl[:, 1], dcyl[:, 0] + 0.5 * dcyl[:, 1]], axis=-1
+    )
+
+    # cotangent patches d8[j, i] = sum_ab w_ab g[j-a, i-b] (BQ, 2, 8, 8)
+    w00 = ((1.0 - fx) * (1.0 - fy))[..., None, None]
+    wx = (fx * (1.0 - fy))[..., None, None]  # shift along i (x, lanes)
+    wy = ((1.0 - fx) * fy)[..., None, None]  # shift along j (y, sublanes)
+    w11 = (fx * fy)[..., None, None]
+    d8 = (
+        w00 * jnp.pad(g, ((0, 0), (0, 0), (0, 1), (0, 1)))
+        + wx * jnp.pad(g, ((0, 0), (0, 0), (0, 1), (1, 0)))
+        + wy * jnp.pad(g, ((0, 0), (0, 0), (1, 0), (0, 1)))
+        + w11 * jnp.pad(g, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    )
+
+    _, _, tr0, tr1, t0, t1, _, _, h, w, bq_p = _prep_targets(corr32, coords)
+    # stacked level-major layout for the kernel: (2, BQ*8, 8)
+    d8s = jnp.swapaxes(d8, 0, 1).reshape(2, bq * PATCH, PATCH)
+    qpad = bq_p - bq
+    if qpad:
+        d8s = jnp.pad(d8s, ((0, 0), (0, qpad * PATCH), (0, 0)))
+    n = QB * PATCH
+    nblk = bq_p // QB
+    d0p, d1p = pl.pallas_call(
+        _patch_scatter_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n, PATCH), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((QB * h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (QB * (h // 2), w // 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bq_p * h, w), jnp.float32),
+            jax.ShapeDtypeStruct((bq_p * (h // 2), w // 2), jnp.float32),
+        ),
+        interpret=interpret,
+    )(tr0, tr1, t0, t1, d8s)
+    # outputs are already in the native unpadded map layout; fold the
+    # level-1 cotangent through avg_pool's transpose (each source pixel
+    # receives d_l1[y//2, x//2] / 4)
+    d0 = d0p.reshape(bq_p, h, w)[:bq]
+    d1 = d1p.reshape(bq_p, h // 2, w // 2)[:bq]
+    d1_up = jnp.repeat(jnp.repeat(d1, 2, axis=1), 2, axis=2) * 0.25
+    d_corr = (d0 + d1_up)[..., None].astype(corr.dtype)
+    return d_corr, dc.astype(coords.dtype)
+
+
 @jax.custom_vjp
 def corr_block_lookup_pallas(corr: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Fused Pallas correlation pyramid lookup (2 levels, r=3).
 
     Args:
-      corr: (BQ, hs, ws, 1) per-query correlation maps; BQ % 8 == 0.
+      corr: (BQ, hs, ws, 1) per-query correlation maps.
       coords: (BQ, 2) query centers in level-0 source pixel coords (xy).
 
     Returns:
       (BQ, 98), identical to ops/corr.corr_block_lookup.
+
+    Implementation selection is by measured DEVICE time at 4096 queries on
+    v5e (scan-chain methodology, tools/probe_device_time.py — per-call wall
+    timing through the axon tunnel has a ~2 ms dispatch floor and is
+    useless at this granularity):
+      forward:  v1 scratch-copy kernel 0.37 ms  (matmul-form v2: 0.85 ms,
+                XLA patch-slice: 6.9 ms)  -> v1
+      backward: matmul-form v2 2.29 ms  (v1 per-query scatter: 4.56 ms)
+                -> v2
     """
     return _corr_lookup_pallas_impl(corr, coords)
 
@@ -317,7 +679,7 @@ def _pl_fwd(corr, coords):
 
 def _pl_bwd(res, g):
     corr, coords = res
-    return _corr_lookup_pallas_bwd_impl(corr, coords, g)
+    return _corr_lookup_pallas_v2_bwd_impl(corr, coords, g)
 
 
 corr_block_lookup_pallas.defvjp(_pl_fwd, _pl_bwd)

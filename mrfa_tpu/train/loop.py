@@ -108,8 +108,19 @@ def train(
         # data axis must divide the batch placed on it (debug configs can
         # have batch < device count); unused devices stay idle
         import math
+        import warnings
 
         n_data = math.gcd(global_batch, jax.device_count())
+        if n_data < jax.device_count() and global_batch >= jax.device_count():
+            # not the batch < devices debug case: a production batch that
+            # simply doesn't divide the device count would silently idle
+            # most of the machine (e.g. batch 12 on 8 chips -> 4 devices)
+            warnings.warn(
+                f"batch_size={global_batch} is not divisible by "
+                f"device_count={jax.device_count()}: training will use only "
+                f"{n_data} device(s). Pick a divisible batch size.",
+                stacklevel=2,
+            )
         mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     else:
         mesh = make_mesh()
@@ -121,6 +132,8 @@ def train(
         seed=seed,
         shard_index=jax.process_index(),
         num_shards=n_proc,
+        # reference: torch DataLoader num_workers=8 (train.py:40)
+        num_workers=tp.get("num_workers", 4),
     )
     steps_per_epoch = len(loader)
     if max_steps_per_epoch is not None:
@@ -162,8 +175,10 @@ def train(
         checkpoint_freq=tp.get("checkpoint_freq", 100),
     )
 
-    jax.sharding.set_mesh(mesh)  # expose axes to in-model sharding constraints
-    with mesh:
+    # set_mesh as a context manager: exposes axes to in-model sharding
+    # constraints during tracing, and restores the previous global mesh on
+    # exit (embedding contexts may run train() then something else)
+    with jax.sharding.set_mesh(mesh), mesh:
         for epoch in range(start_epoch, num_epochs):
             use_bg = epoch >= bg_start and bg_start < num_epochs
             if prior_model == "tpsm" and epoch < tp.get("dropout_epoch", 0):
@@ -190,7 +205,10 @@ def train(
             last_batch = None
             last_extras = None
             # metrics stay on device during the hot loop (no per-step blocking
-            # transfer); one device_get at epoch end feeds the logger
+            # transfer), flushed to host every flush_every steps so a
+            # vox1-scale epoch (~2.4k steps x 150 repeats) never accumulates
+            # hundreds of thousands of tiny live device buffers
+            flush_every = 64
             metric_buf = []
             for it, batch in enumerate(loader.epoch(epoch)):
                 if it >= steps_per_epoch:
@@ -205,6 +223,11 @@ def train(
                     {k: v for k, v in metrics.items() if k != "loss"}
                 )
                 last_batch, last_extras = device_batch, extras
+                if len(metric_buf) >= flush_every:
+                    if jax.process_index() == 0:
+                        for host_metrics in jax.device_get(metric_buf):
+                            logger.log_iter(host_metrics)
+                    metric_buf = []
 
             if jax.process_index() == 0:
                 for host_metrics in jax.device_get(metric_buf):

@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process compiles)"
+    )
+
 # The axon sitecustomize force-registers the TPU backend via
 # jax.config.update("jax_platforms", "axon,cpu") at interpreter start — the
 # env var alone is ignored. Re-update AFTER import to truly run on CPU (needed

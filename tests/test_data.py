@@ -93,6 +93,27 @@ class TestBatchLoader:
         l1 = BatchLoader(rep, batch_size=2, shard_index=1, num_shards=2, seed=1)
         assert len(l0) == 3 and len(l1) == 3
 
+    def test_multi_worker_order_deterministic(self, video_root):
+        """num_workers > 1 must yield the same batches in the same order as
+        a single worker (round-robin per-worker queues; reference: torch
+        DataLoader num_workers=8, train.py:40)."""
+        ds = FramesDataset(video_root, is_train=True, seed=0)
+        rep = DatasetRepeater(ds, 8)  # 24 items -> 6 batches of 4
+        names1 = [
+            b["name"]
+            for b in BatchLoader(
+                rep, batch_size=4, shuffle=True, seed=3, num_workers=1
+            ).epoch(2)
+        ]
+        names3 = [
+            b["name"]
+            for b in BatchLoader(
+                rep, batch_size=4, shuffle=True, seed=3, num_workers=3
+            ).epoch(2)
+        ]
+        assert len(names1) == 6
+        assert names1 == names3
+
 
 class TestAugmentation:
     def test_brightness_saturation_ranges(self):

@@ -54,3 +54,48 @@ def test_pallas_lookup_bwd_matches_gather_vjp_interpret():
     np.testing.assert_allclose(
         np.asarray(got_dcoords), np.asarray(want_dcoords), atol=3e-4
     )
+
+
+def test_pallas_v2_matmul_form_fwd_bwd_interpret():
+    """The block-vectorized matmul-form kernels (the production BACKWARD; the
+    forward kept as an alternative) match the gather oracle and its vjp,
+    including non-multiple-of-QB query counts and integer coords."""
+    from mrfa_tpu.ops.pallas_kernels import (
+        _corr_lookup_pallas_v2_bwd_impl,
+        _corr_lookup_pallas_v2_impl,
+    )
+
+    rng = np.random.RandomState(2)
+    bq = 24  # not a multiple of QB=16: exercises query padding
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = np.stack(
+        [rng.uniform(-12, 76, bq), rng.uniform(-12, 76, bq)], -1
+    ).astype(np.float32)
+    coords[:4] = np.round(coords[:4])  # fx = fy = 0 edge case
+    coords = jnp.asarray(coords)
+
+    ref = corr_block_lookup(corr, coords)
+    got = _corr_lookup_pallas_v2_impl(corr, coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g = jnp.asarray(rng.randn(bq, 98).astype(np.float32))
+    _, vjp = jax.vjp(corr_block_lookup, corr, coords)
+    want_dcorr, want_dcoords = vjp(g)
+    got_dcorr, got_dcoords = _corr_lookup_pallas_v2_bwd_impl(
+        corr, coords, g, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dcorr), np.asarray(want_dcorr), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dcoords), np.asarray(want_dcoords), atol=3e-4
+    )
+
+
+def test_pallas_v2_oob_zero_interpret():
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_v2_impl
+
+    corr = jnp.ones((8, 64, 64, 1))
+    coords = jnp.asarray([[-50.0, 5.0]] * 4 + [[5.0, 500.0]] * 4)
+    out = np.asarray(_corr_lookup_pallas_v2_impl(corr, coords, interpret=True))
+    np.testing.assert_allclose(out, 0.0)
