@@ -88,7 +88,7 @@ class Animator:
         )
 
         def frame_step(model, source, img_down, kp_source, kp_driving_initial,
-                       driving_frame, scale):
+                       driving_frame, scale, source_cache):
             kp_driving = model.encode_kp(driving_frame)
             kp_norm = normalize_kp(
                 kp_source, kp_driving, kp_driving_initial,
@@ -106,12 +106,21 @@ class Animator:
                 img=img_down,
                 img_full=source,
                 train=False,
+                source_cache=source_cache,
             )
             return out, warp_img, occlusion
 
         self._frame = jax.jit(
-            lambda v, src, dwn, kps, kpd0, frame, scale: model.apply(
-                v, src, dwn, kps, kpd0, frame, scale, method=frame_step
+            lambda v, src, dwn, kps, kpd0, frame, scale, cache: model.apply(
+                v, src, dwn, kps, kpd0, frame, scale, cache, method=frame_step
+            )
+        )
+        # per-clip-constant decoder source work (generator pyramid + f_s) —
+        # the reference recomputes this every frame (demo.py:55-72)
+        self._encode_source = jax.jit(
+            lambda v, src, kps, dwn: model.apply(
+                v, src, kps, dwn,
+                method=lambda m, s, k, d: m.encode_source_cache(s, k, d),
             )
         )
 
@@ -133,15 +142,17 @@ class Animator:
         else:
             scale = 1.0
         img_down = antialias_downsample(source, self._aa)
-        return source, img_down, kp_source, kp_d0, jnp.float32(scale)
+        cache = self._encode_source(self.variables, source, kp_source, img_down)
+        return source, img_down, kp_source, kp_d0, jnp.float32(scale), cache
 
     def animate_frame(self, clip_state, driving_frame):
-        source, img_down, kp_source, kp_d0, scale = clip_state
+        source, img_down, kp_source, kp_d0, scale, cache = clip_state
         frame = jnp.asarray(driving_frame)
         if frame.ndim == 3:
             frame = frame[None]
         return self._frame(
-            self.variables, source, img_down, kp_source, kp_d0, frame, scale
+            self.variables, source, img_down, kp_source, kp_d0, frame, scale,
+            cache,
         )
 
     def make_animation(

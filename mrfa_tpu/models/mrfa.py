@@ -132,6 +132,14 @@ class MRFA(nn.Module):
             return v.reshape(b, -1, 5, 2).mean(axis=2)
         return v
 
+    def encode_source_cache(self, source, kp_source, img_down):
+        """Per-clip-constant decoder source work for serving (eval mode):
+        generator feature pyramid + source correlation projection. Pass the
+        result as `source_cache` to `decoder(...)` in the frame loop."""
+        return self.decoder.encode_source(
+            self.kp_for_decoder(kp_source), img_down, source, False
+        )
+
     def pyramid(self, x: jnp.ndarray) -> Dict[float, jnp.ndarray]:
         return {s: antialias_downsample(x, self._aa_scales[s]) for s in self.scales}
 

@@ -265,6 +265,29 @@ class RaftFlow(nn.Module):
             warp_f_out, occ_out, warp_f_c_out, occ_c_out,
         )
 
+    def encode_source(self, kp_s, img, img_full, train=False):
+        """Per-clip-constant source-side work, hoistable out of the serving
+        frame loop: the generator feature pyramid of the source image and
+        the source-side correlation projection f_s.
+
+        The reference recomputes both every frame
+        (/root/reference/demo.py:55-72 calls the decoder with the same
+        source; raft.py:143,176-186 re-encode it) — hoisting is pure
+        serving win with identical semantics (eval mode: no BN-stat or
+        dropout coupling). Returns a pytree cache for __call__'s
+        `source_cache` argument.
+        """
+        feature = OcclusionAwareGenerator.encode(self.gen, img_full, train)
+        if self.prior_only:
+            return {"feature": tuple(feature)}
+        b, h, w, _ = img.shape
+        pos = jnp.transpose(self.pos_embedding, (0, 2, 3, 1))  # (1,h,w,K)
+        g_s = kp2gaussian(kp_s, (h, w), 0.1) + pos
+        fe_s = self.kp_img(jnp.concatenate([g_s, img], axis=-1), train)
+        k_s = self.kp_img_head(fe_s)  # (B,h,w,dim)
+        f_s = k_s.reshape(b, h * w, self.dim)
+        return {"feature": tuple(feature), "f_s": f_s}
+
     def _prior_only_forward(self, dense_motion, feature, img_full, train):
         flow = dense_motion["deformation"]  # (B,64,64,2) normalized
         occlusion = dense_motion["occlusion"]  # logits
@@ -298,16 +321,22 @@ class RaftFlow(nn.Module):
         img: jnp.ndarray,
         img_full: jnp.ndarray,
         train: bool = False,
+        source_cache: Optional[Dict[str, Any]] = None,
     ):
         # training memory: remat the generator encode/decode as units (their
         # intra-block activations at up to size^2 resolution dominate; only
         # the 6 pyramid maps / the decoded image are saved across them)
-        encode_fn = (
-            nn.remat(OcclusionAwareGenerator.encode, static_argnums=(2,))
-            if self.remat
-            else OcclusionAwareGenerator.encode
-        )
-        feature = encode_fn(self.gen, img_full, train)  # coarse->fine, 6 maps
+        if source_cache is not None:
+            # serving fast path: per-clip-constant source work precomputed
+            # by encode_source (identical values; eval mode only)
+            feature = list(source_cache["feature"])
+        else:
+            encode_fn = (
+                nn.remat(OcclusionAwareGenerator.encode, static_argnums=(2,))
+                if self.remat
+                else OcclusionAwareGenerator.encode
+            )
+            feature = encode_fn(self.gen, img_full, train)  # coarse->fine
 
         if self.prior_only:
             return self._prior_only_forward(dense_motion, feature, img_full, train)
@@ -316,13 +345,16 @@ class RaftFlow(nn.Module):
         pos = jnp.transpose(self.pos_embedding, (0, 2, 3, 1))  # (1,h,w,K)
 
         # --- structure correlation volume at the basic resolution (einsum) ---
-        g_s = kp2gaussian(kp_s, (h, w), 0.1) + pos
+        if source_cache is not None:
+            f_s = source_cache["f_s"]
+        else:
+            g_s = kp2gaussian(kp_s, (h, w), 0.1) + pos
+            fe_s = self.kp_img(jnp.concatenate([g_s, img], axis=-1), train)
+            k_s = self.kp_img_head(fe_s)  # (B,h,w,dim)
+            f_s = k_s.reshape(b, h * w, self.dim)
         g_d = kp2gaussian(kp_d, (h, w), 0.1) + pos
-        fe_s = self.kp_img(jnp.concatenate([g_s, img], axis=-1), train)
         fe_d = self.kp(g_d, train)
-        k_s = self.kp_img_head(fe_s)  # (B,h,w,dim)
         q_d = self.kp_head(fe_d)
-        f_s = k_s.reshape(b, h * w, self.dim)
         f_d = q_d.reshape(b, h * w, self.dim)
         corr_volume = jnp.einsum("bic,bjc->bij", f_d, f_s) * self.scale
         # (B, n_driving, n_source). Under a ('data','model') mesh the volume

@@ -33,6 +33,9 @@ class StreamBatchState(struct.PyTreeNode):
     kp_source: Dict[str, jnp.ndarray]
     kp_driving_initial: Dict[str, jnp.ndarray]
     scale: jnp.ndarray  # (S,)
+    # per-clip-constant decoder source work (generator pyramid + f_s),
+    # computed once at open_streams — the reference redoes it per frame
+    source_cache: Any = None
 
 
 class AnimationServer:
@@ -56,7 +59,8 @@ class AnimationServer:
 
         self._encode = jax.jit(lambda v, img: model.apply(v, img, method=encode))
 
-        def frame_step(model, source, img_down, kp_source, kp_d0, frames, scale):
+        def frame_step(model, source, img_down, kp_source, kp_d0, frames, scale,
+                       source_cache):
             kp_driving = model.encode_kp(frames)
             kp_norm = normalize_kp(
                 kp_source, kp_driving, kp_d0,
@@ -74,13 +78,20 @@ class AnimationServer:
                 img=img_down,
                 img_full=source,
                 train=False,
+                source_cache=source_cache,
             )
             return out
 
         self._frame = jax.jit(
             lambda v, st, frames: model.apply(
                 v, st.source, st.img_down, st.kp_source, st.kp_driving_initial,
-                frames, st.scale, method=frame_step,
+                frames, st.scale, st.source_cache, method=frame_step,
+            )
+        )
+        self._encode_source = jax.jit(
+            lambda v, src, kps, dwn: model.apply(
+                v, src, kps, dwn,
+                method=lambda m, s, k, d: m.encode_source_cache(s, k, d),
             )
         )
 
@@ -108,12 +119,16 @@ class AnimationServer:
             scale = jnp.asarray(scales, jnp.float32)
         else:
             scale = jnp.ones((src.shape[0],), jnp.float32)
+        img_down = antialias_downsample(src, self._aa)
         return StreamBatchState(
             source=src,
-            img_down=antialias_downsample(src, self._aa),
+            img_down=img_down,
             kp_source=kp_source,
             kp_driving_initial=kp_d0,
             scale=scale,
+            source_cache=self._encode_source(
+                self.variables, src, kp_source, img_down
+            ),
         )
 
     def serve(self, state: StreamBatchState, frames: np.ndarray) -> jnp.ndarray:

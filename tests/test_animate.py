@@ -80,6 +80,65 @@ class TestAnimator:
         assert animator.find_best_frame(source, driving) == 0
 
 
+class TestSourceCache:
+    def test_cached_decoder_matches_uncached(self):
+        """The hoisted per-clip source cache (generator pyramid + f_s) must
+        be a pure refactor: decoder output identical with and without it —
+        on the FULL refinement path, not just prior_only."""
+        cfg = small_cfg("fomm")
+        model = MRFA(cfg)
+        dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+        rngs = {
+            "params": jax.random.PRNGKey(0),
+            "equivariance": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2),
+        }
+        variables = model.init(
+            rngs, dummy, dummy, train=True, compute_loss=True, use_bg=True
+        )
+        variables = {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+        }
+        rng = np.random.RandomState(7)
+        source = jnp.asarray(rng.rand(1, SIZE, SIZE, 3), jnp.float32)
+        driving = jnp.asarray(rng.rand(1, SIZE, SIZE, 3), jnp.float32)
+
+        from mrfa_tpu.ops.resize import AntiAliasParams, antialias_downsample
+
+        img_down = antialias_downsample(source, AntiAliasParams.create(0.25))
+
+        def run(m, src, dwn, drv, cache):
+            kp_s = m.encode_kp(src)
+            kp_d = m.encode_kp(drv)
+            dm = m.run_dense_motion(src, kp_d, kp_s, None, False, 0.0, False)
+            out, warp, occ = m.decoder(
+                m.kp_for_decoder(kp_s), m.kp_for_decoder(kp_d), dm,
+                img=dwn, img_full=src, train=False, source_cache=cache,
+            )
+            return out, warp, occ
+
+        want = model.apply(
+            variables, source, img_down, driving, None, method=run
+        )
+        cache = model.apply(
+            variables, source,
+            model.apply(
+                variables, source,
+                method=lambda m, s: m.encode_kp(s),
+            ),
+            img_down,
+            method=lambda m, s, k, d: m.encode_source_cache(s, k, d),
+        )
+        got = model.apply(
+            variables, source, img_down, driving, cache, method=run
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-6
+            )
+
+
 class TestServing:
     def test_multi_stream(self, tiny_model):
         model, variables = tiny_model
