@@ -21,9 +21,12 @@ from tests.test_train import SIZE, small_cfg
 BATCH = 4
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = small_cfg("fomm")
+# fomm = round-1 coverage; mtia (reduced depth 2) = the flagship prior's
+# HRNet + patchify + attention reshapes on a model-axis mesh (VERDICT r2
+# item 3: these are exactly the ops GSPMD can mis-partition silently)
+@pytest.fixture(scope="module", params=["fomm", "mtia"])
+def setup(request):
+    cfg = small_cfg(request.param)
     model = MRFA(cfg)
     dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     rngs = {

@@ -48,6 +48,17 @@ def small_cfg(prior="fomm"):
             "scale_factor": 0.25, "estimate_jacobian": True,
         },
         "tpsm_kp_detector": {"num_tps": 10},
+        # reduced-depth MTIA (2 ViT layers instead of 12): mesh-equivalence
+        # tests are semantics-preservation checks, so a small config
+        # exercises the same HRNet/patchify/attention partitioning
+        "mtia_kp_detector": {
+            "MODEL": {
+                "ESTIMATE_JACOBIAN": True, "TRANSFORMER_DEPTH": 2,
+                "TRANSFORMER_HEADS": 8, "DIM": 192, "NUM_JOINTS": 10,
+                "PATCH_SIZE": [4, 4], "IMAGE_SIZE": [SIZE, SIZE],
+                "BASE_CHANNEL": 32, "TRANSFORMER_MLP_RATIO": 3,
+            }
+        },
         "tpsm_dense_motion": {
             "block_expansion": 64, "max_features": 1024, "num_blocks": 5,
             "scale_factor": 0.25, "num_tps": 10, "num_channels": 3,
