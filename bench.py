@@ -121,7 +121,16 @@ def main():
     # real chip before any timing, so a silent lowering regression cannot
     # hide behind a plausible fps number.
     from mrfa_tpu.ops.corr import corr_block_lookup
-    from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas
+    from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas_pret
+    from mrfa_tpu.ops.resize import avg_pool
+
+    def corr_block_lookup_pallas(corr, coords):
+        # production path: pre-transposed levels (models/raft.py builds them
+        # as einsums); wrapping the transpose/pool here lets jax.vjp cover
+        # the pret forward AND backward kernels against the gather oracle
+        c0t = jnp.transpose(corr[..., 0], (0, 2, 1))
+        c1t = jnp.transpose(avg_pool(corr, 2)[..., 0], (0, 2, 1))
+        return corr_block_lookup_pallas_pret(c0t, c1t, coords)
 
     ex_corr = jnp.asarray(rng.randn(512, 64, 64, 1).astype(np.float32))
     ex_coords = jnp.asarray(

@@ -109,6 +109,13 @@ class DenseMotionNetwork(nn.Module):
         """Warp the source by each motion: (B, K+1, h, w, C), zeros pad."""
         bs, h, w, c = source_image.shape
         k1 = sparse_motions.shape[1]
+        # warp pixels in the compute dtype (geometry stays f32): the gather
+        # is descriptor-rate-bound and measurably faster on bf16 rows
+        from mrfa_tpu.precision import get_compute_dtype
+
+        cd = get_compute_dtype()
+        if cd is not None:
+            source_image = source_image.astype(cd)
         src = jnp.broadcast_to(
             source_image[:, None], (bs, k1, h, w, c)
         ).reshape(bs * k1, h, w, c)

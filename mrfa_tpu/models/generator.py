@@ -19,6 +19,7 @@ from mrfa_tpu.nn.blocks import (
     DownBlock2d,
     ResBlock2d,
     SameBlock2d,
+    SpaceToDepthConv,
     UpBlock2d,
     conv2d,
 )
@@ -54,7 +55,9 @@ class OcclusionAwareGenerator(nn.Module):
             ChannelBlock2d(f, name=f"channel_block_{idx}")
             for idx, f in enumerate(reversed(chan))
         ]
-        self.final = conv2d(self.num_channels, 7, padding=3, name="final")
+        # 7x7 -> 3ch at full resolution: space-to-depth form (same params,
+        # exact math, ~5x fewer MXU-padded FLOPs than the direct conv)
+        self.final = SpaceToDepthConv(self.num_channels, name="final")
 
     def encode(self, x: jnp.ndarray, train: bool) -> List[jnp.ndarray]:
         """(B, H, W, C) -> feature pyramid, coarsest (H/2^n) first."""

@@ -31,6 +31,8 @@ from mrfa_tpu.nn.blocks import Hourglass, conv2d
 from mrfa_tpu.ops.corr import (
     corr_block_lookup,
     corr_block_lookup_fast,
+    corr_block_lookup_levels,
+    corr_block_lookup_levels_gather,
     corr_window_offsets,
 )
 from mrfa_tpu.ops.grid import coords_grid, kp2gaussian
@@ -160,15 +162,73 @@ class RaftFlow(nn.Module):
             return corr_block_lookup_fast(corr_src, coords)
         return corr_block_lookup(corr_src, coords)
 
+    def _build_levels(self, fd_sp, f_s_layouts, train):
+        """Per-query 2-level correlation maps as einsums vs source features.
+
+        The reference materializes the (4096, 4096) volume and avg_pools it
+        (raft.py:176-208 + F.avg_pool2d per resolution). Both pyramid
+        pooling (over source pixels) and driving-resolution pooling are
+        LINEAR in the features, so each level is computed directly:
+          level l at driving res r = pool_r(f_d) @ pool_{2^l}(f_s)^T
+        — exact (mean of dot = dot of mean), and the x-major map layout the
+        Pallas lookup wants falls out of x-major-permuted source features
+        instead of a per-frame 67 MB transpose (the round-3 frame profile
+        showed that cast/transpose/pool prep dominating async copy time).
+
+        Args:
+          fd_sp: (B, hq, wq, dim) (possibly driving-pooled) query features.
+          f_s_layouts: dict with 'y'/'x' full-res and 'py'/'px' 2x2-pooled
+            source features, each (B, n, dim).
+          train: keeps maps in the compute dtype under remat (half-size
+            saved residuals); serving emits f32 (the kernel's native dtype).
+
+        Returns:
+          (impl, map0, map1): lookup impl name and (B*nq, s, s) per-query
+          maps in that impl's layout (x-major for pallas, y-major else).
+        """
+        b, hq, wq, dim = fd_sp.shape
+        nq = hq * wq
+        impl = self._resolve_lookup_impl(b * nq)
+        # fold the 1/sqrt(dim) volume scale into the (tiny) query features
+        # instead of a broadcast-multiply over the (nq, 4096) maps — the
+        # round-3 profile showed that multiply costing ~0.5 ms/frame
+        fd = fd_sp.reshape(b, nq, dim) * self.scale
+        out_dt = fd.dtype if train else jnp.float32
+        s0 = f_s_layouts["x"] if impl == "pallas" else f_s_layouts["y"]
+        s1 = f_s_layouts["px"] if impl == "pallas" else f_s_layouts["py"]
+        c0 = jnp.einsum("bqc,bjc->bqj", fd, s0, preferred_element_type=out_dt)
+        c1 = jnp.einsum("bqc,bjc->bqj", fd, s1, preferred_element_type=out_dt)
+        from mrfa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, maybe_constrain
+
+        # shard the query axis over 'model' (f_d row-sharded, f_s replicated:
+        # no collective; downstream lookups touch only local query rows)
+        c0 = maybe_constrain(c0, DATA_AXIS, MODEL_AXIS, None)
+        c1 = maybe_constrain(c1, DATA_AXIS, MODEL_AXIS, None)
+        map0 = c0.reshape(b * nq, self.h, self.w)
+        map1 = c1.reshape(b * nq, self.h // 2, self.w // 2)
+        return impl, map0, map1
+
+    def _lookup_levels(self, impl, map0, map1, coords):
+        """Lookup over precomputed levels (all impls exact, tests/test_corr)."""
+        if impl == "pallas":
+            from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas_pret
+
+            return corr_block_lookup_pallas_pret(map0, map1, coords)
+        if impl == "xla":
+            return corr_block_lookup_levels(map0, map1, coords)
+        return corr_block_lookup_levels_gather(map0, map1, coords)
+
     def _refine_iter(
         self,
         i: int,
         train: bool,
+        impl: str,
         flow,
         occlusion,
         d_f_pre,
         d_occ_pre,
-        corr_hw,
+        map0,
+        map1,
         feature_i,
         init_flow,
         init_occlusion,
@@ -178,38 +238,34 @@ class RaftFlow(nn.Module):
         """One refinement iteration (resolution (size//32)*2^i).
 
         Packaged as a method so training can rematerialize whole iterations
-        (`nn.remat` in __call__): every intra-iteration activation — pooled
-        correlation slabs, the 98-channel lookups, motion features, refine
-        convs — is recomputed in the backward instead of living in HBM for
-        the rest of the forward. Iteration boundaries (flow/occlusion carries
-        and the per-scale outputs) are the only saved tensors.
+        (`nn.remat` in __call__): every intra-iteration activation — the
+        98-channel lookups, motion features, refine convs — is recomputed in
+        the backward instead of living in HBM for the rest of the forward.
+        Iteration boundaries (flow/occlusion carries, the per-iteration
+        correlation levels, and the per-scale outputs) are the only saved
+        tensors.
         """
         b = flow.shape[0]
         res = (self.size // 32) * (2**i)
         id_grid = coords_grid(res, res, dtype=flow.dtype)[None]
 
-        # -- select query coords and the (possibly pooled) corr volume --
+        # -- query coords against the (driving-pooled) correlation levels --
         if i < self.basic_res_index:
-            f = 2 ** (self.basic_res_index - i)
-            pooled = avg_pool(corr_hw, f)  # (B,res,res,n_src) pooled driving
-            scale = float(f)
+            scale = float(2 ** (self.basic_res_index - i))
             flow_sample, id_grid_sample = flow, id_grid
         elif i == self.basic_res_index:
-            pooled = corr_hw
             scale = 1.0
             flow_sample, id_grid_sample = flow, id_grid
         else:
-            pooled = corr_hw
             scale = 1.0
             flow_sample = resize_bilinear(flow, self.h, align_corners=True) * (
                 0.5 ** (i - self.basic_res_index)
             )
             id_grid_sample = coords_grid(self.h, self.w, dtype=flow.dtype)[None]
 
-        hq = pooled.shape[1]
-        corr_src = pooled.reshape(b * hq * hq, self.h, self.w, 1)
+        hq = flow_sample.shape[1]
         coords = (flow_sample + id_grid_sample) * scale  # (B,hq,hq,2)
-        corr = self._lookup(corr_src, coords.reshape(-1, 2))
+        corr = self._lookup_levels(impl, map0, map1, coords.reshape(-1, 2))
         corr = corr.reshape(b, hq, hq, -1)  # (B,hq,hq,98)
         if i > self.basic_res_index:
             corr = resize_bilinear(corr, res, align_corners=True)
@@ -305,7 +361,13 @@ class RaftFlow(nn.Module):
                 grid_sample(feature[i], flow_res, align_corners=False)
             )
             out_occlusion.append(jax.nn.sigmoid(occlusion_res))
-        warp_img = grid_sample(img_full, flow_res, align_corners=False)
+        from mrfa_tpu.precision import get_compute_dtype
+
+        cd = get_compute_dtype()
+        warp_img = grid_sample(
+            img_full if cd is None else img_full.astype(cd),
+            flow_res, align_corners=False,
+        )
         out = self.gen.decode(out_warp_f, warp_img, out_occlusion, train=train)
         vis = [
             resize_bilinear(o, self.size, align_corners=True) for o in out_occlusion
@@ -354,19 +416,38 @@ class RaftFlow(nn.Module):
             f_s = k_s.reshape(b, h * w, self.dim)
         g_d = kp2gaussian(kp_d, (h, w), 0.1) + pos
         fe_d = self.kp(g_d, train)
-        q_d = self.kp_head(fe_d)
-        f_d = q_d.reshape(b, h * w, self.dim)
-        corr_volume = jnp.einsum("bic,bjc->bij", f_d, f_s) * self.scale
-        # (B, n_driving, n_source). Under a ('data','model') mesh the volume
-        # is sharded over the driving (query) axis: the einsum partitions
-        # with f_d row-sharded and f_s replicated (no collective), and every
-        # downstream pooling/lookup touches only local query rows.
-        from mrfa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, maybe_constrain
+        q_d = self.kp_head(fe_d)  # (B, h, w, dim) driving query features
 
-        corr_volume = maybe_constrain(corr_volume, DATA_AXIS, MODEL_AXIS, None)
+        # --- correlation pyramid levels, built per driving resolution ---
+        # source features in every layout _build_levels may need: y-major,
+        # x-major (pallas pret kernel), and their 2x2 source-pooled level-1
+        # counterparts. Each is a cheap (B, 4096, 256) permute; the unused
+        # layouts are dead-code-eliminated at trace time. The (4096, 4096)
+        # volume of the reference is never materialized in y-major + pooled
+        # copies: every level is a direct einsum (see _build_levels).
+        f_s_sp = f_s.reshape(b, h, w, self.dim)
+        f_s_p = avg_pool(f_s_sp, 2)
+        f_s_layouts = {
+            "y": f_s,
+            "x": jnp.swapaxes(f_s_sp, 1, 2).reshape(b, h * w, self.dim),
+            "py": f_s_p.reshape(b, h * w // 4, self.dim),
+            "px": jnp.swapaxes(f_s_p, 1, 2).reshape(b, h * w // 4, self.dim),
+        }
+        levels: List[Any] = []
+        full_levels = None
+        for i in range(self.total_iter):
+            if i < self.basic_res_index:
+                f = 2 ** (self.basic_res_index - i)
+                # driving-pooled queries (exact: avg_pool commutes with the
+                # correlation dot; reference pools the volume, raft.py:230)
+                levels.append(self._build_levels(avg_pool(q_d, f), f_s_layouts, train))
+            else:
+                if full_levels is None:
+                    full_levels = self._build_levels(q_d, f_s_layouts, train)
+                levels.append(full_levels)
 
         # --- prior motion initialization (normalized -> pixel flow) ---
-        id_grid64 = coords_grid(h, w, dtype=corr_volume.dtype)[None]
+        id_grid64 = coords_grid(h, w, dtype=dense_motion["deformation"].dtype)[None]
         init_flow = (h - 1) * (dense_motion["deformation"] + 1.0) / 2.0 - id_grid64
         init_occlusion = dense_motion["occlusion"]
 
@@ -375,10 +456,6 @@ class RaftFlow(nn.Module):
             init_occlusion, self.size // 32, align_corners=True
         )
 
-        # corr volume viewed with the driving axis spatial: (B, hd, wd, n_src)
-        corr_hw = corr_volume.reshape(b, h, w, h * w)
-        corr_hw = maybe_constrain(corr_hw, DATA_AXIS, MODEL_AXIS, None, None)
-
         out_warp_f: List[jnp.ndarray] = []
         out_occlusion: List[jnp.ndarray] = []
         out_warp_f_c: List[jnp.ndarray] = []
@@ -386,21 +463,22 @@ class RaftFlow(nn.Module):
         d_f_pre = None
         d_occ_pre = None
 
-        # per-iteration rematerialization (training memory): i and train are
-        # static (args 1, 2 counting self as 0)
+        # per-iteration rematerialization (training memory): i, train and the
+        # lookup impl are static (args 1, 2, 3 counting self as 0)
         iter_fn = (
-            nn.remat(type(self)._refine_iter, static_argnums=(1, 2))
+            nn.remat(type(self)._refine_iter, static_argnums=(1, 2, 3))
             if self.remat
             else type(self)._refine_iter
         )
 
         for i in range(self.total_iter):
+            impl_i, map0_i, map1_i = levels[i]
             (
                 flow, occlusion, d_f_pre, d_occ_pre,
                 warp_f_i, occ_i, warp_f_c_i, occ_c_i,
             ) = iter_fn(
-                self, i, train, flow, occlusion, d_f_pre, d_occ_pre,
-                corr_hw, feature[i], init_flow, init_occlusion,
+                self, i, train, impl_i, flow, occlusion, d_f_pre, d_occ_pre,
+                map0_i, map1_i, feature[i], init_flow, init_occlusion,
                 dense_motion["deformation"], dense_motion["occlusion"],
             )
             out_warp_f.append(warp_f_i)
@@ -411,7 +489,15 @@ class RaftFlow(nn.Module):
         # NB: matches the reference — the final warp uses the pre-refinement
         # flow of the last iteration (raft.py:302 uses `flow`, not `flow_w`)
         id_grid = coords_grid(self.size, self.size, dtype=flow.dtype)[None]
-        warp_img = sample_pixel(img_full, flow + id_grid)
+        # warp the image in the compute dtype: the 256^2 gather is
+        # descriptor-rate-bound and ~40% faster on bf16 rows (profile);
+        # pixel values lose <0.4% — the geometry (coords) stays f32
+        from mrfa_tpu.precision import get_compute_dtype
+
+        cd = get_compute_dtype()
+        warp_img = sample_pixel(
+            img_full if cd is None else img_full.astype(cd), flow + id_grid
+        )
         decode_fn = (
             nn.remat(OcclusionAwareGenerator.decode, static_argnums=(6,))
             if self.remat

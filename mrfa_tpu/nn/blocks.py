@@ -66,6 +66,69 @@ def conv2d(
     )
 
 
+class SpaceToDepthConv(nn.Module):
+    """7x7 / pad-3 conv with few output channels via space-to-depth-4.
+
+    A direct 7x7 conv to O=3 channels runs the MXU at 3/128 column
+    utilization (0.57 ms/frame at 256^2 in the serving device profile —
+    the generator's `final` conv, reference modules/generator.py:36).
+    Folding 4x4 spatial blocks into channels turns it into a 3x3 conv with
+    16C input / 16O output channels at 1/16 the positions — identical math:
+    the rearranged kernel is a fixed gather of the canonical (7,7,C,O)
+    kernel, zero-filled where a tap falls outside the 7x7 support, so
+    zero-padding semantics are preserved exactly. ~5x fewer MXU-padded
+    FLOPs. The parameter stays in canonical torch (7,7,C,O) layout, so
+    checkpoint conversion (utils/torch_convert.py) is unaffected.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from mrfa_tpu.precision import get_compute_dtype
+
+        b, h, w, c = x.shape
+        o = self.features
+        k, f = 7, 4
+        kernel = self.param("kernel", torch_conv_kernel_init, (k, k, c, o))
+        bias = self.param("bias", nn.initializers.zeros, (o,))
+        dt = get_compute_dtype() or kernel.dtype
+        if h % f or w % f:
+            # tiny/odd inputs (tests): direct conv, same parameters
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kernel.astype(dt), (1, 1), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(dt)
+        # static tap map: canonical tap (u, v) -> s2d kernel tap (kp, kq),
+        # input phase (dy, dx), for each output phase (di, dj):
+        #   u = 4*(kp-1) + dy + 3 - di  (and likewise v)
+        kp, kq, dy, dx, di, dj = np.meshgrid(
+            np.arange(3), np.arange(3), np.arange(f), np.arange(f),
+            np.arange(f), np.arange(f), indexing="ij",
+        )
+        u = f * (kp - 1) + dy + (k // 2) - di
+        v = f * (kq - 1) + dx + (k // 2) - dj
+        valid = (u >= 0) & (u < k) & (v >= 0) & (v < k)
+        w4 = kernel[np.clip(u, 0, k - 1), np.clip(v, 0, k - 1)]
+        w4 = jnp.where(jnp.asarray(valid)[..., None, None], w4, 0.0)
+        # (kp,kq,dy,dx,di,dj,C,O) -> (kp,kq, (dy,dx,C), (di,dj,O))
+        w4 = jnp.transpose(w4, (0, 1, 2, 3, 6, 4, 5, 7)).reshape(
+            3, 3, f * f * c, f * f * o
+        )
+        xs = jnp.transpose(
+            x.reshape(b, h // f, f, w // f, f, c), (0, 1, 3, 2, 4, 5)
+        ).reshape(b, h // f, w // f, f * f * c)
+        ys = jax.lax.conv_general_dilated(
+            xs.astype(dt), w4.astype(dt), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        ys = jnp.transpose(
+            ys.reshape(b, h // f, w // f, f, f, o), (0, 1, 3, 2, 4, 5)
+        )
+        return ys.reshape(b, h, w, o) + bias.astype(dt)
+
+
 def dense(features, use_bias=True, name=None):
     from mrfa_tpu.precision import get_compute_dtype
 

@@ -137,6 +137,68 @@ def _lookup_fast_impl(
     return jnp.concatenate(outs, axis=-1)
 
 
+def corr_block_lookup_levels_gather(
+    c0: jnp.ndarray, c1: jnp.ndarray, coords: jnp.ndarray, radius: int = 3
+) -> jnp.ndarray:
+    """Gather-oracle lookup over PRECOMPUTED pyramid levels (y-major maps).
+
+    Levels arrive as separate (BQ, h, w) / (BQ, h/2, w/2) maps instead of one
+    map pooled internally: the refinement loop builds each level directly as
+    an einsum against (pooled) source features — avg_pool over either axis of
+    the correlation volume is linear in the features, so pooling f_d/f_s
+    first is exact and avoids materializing/pooling the (4096, 4096) volume
+    (see models/raft.py). Autodiff-clean (vjp is a plain scatter-add).
+    """
+    offsets = corr_window_offsets(radius, dtype=coords.dtype)
+    outs = []
+    for lvl, cur in enumerate((c0, c1)):
+        c = coords / (2.0**lvl)
+        window = c[:, None, None, :] + offsets[None]
+        outs.append(
+            sample_pixel(cur[..., None], window).reshape(coords.shape[0], -1)
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _levels_fast_impl(c0, c1, coords, radius: int = 3):
+    return jnp.concatenate(
+        [_patch_lookup(c0, coords, radius), _patch_lookup(c1, coords * 0.5, radius)],
+        axis=-1,
+    )
+
+
+@jax.custom_vjp
+def corr_block_lookup_levels(
+    c0: jnp.ndarray, c1: jnp.ndarray, coords: jnp.ndarray
+) -> jnp.ndarray:
+    """Patch-slice lookup over precomputed levels (2 levels, r=3), y-major.
+
+    Args:
+      c0: (BQ, h, w) level-0 per-query correlation maps.
+      c1: (BQ, h/2, w/2) level-1 (2x2-mean-pooled) maps.
+      coords: (BQ, 2) query centers in level-0 pixel coords (xy).
+
+    Returns:
+      (BQ, 98), identical to corr_block_lookup(c0[..., None], coords) when
+      c1 == avg_pool(c0). Custom vjp linearizes the gather formulation
+      (plain scatter-add, no padded residuals), like corr_block_lookup_fast.
+    """
+    return _levels_fast_impl(c0, c1, coords)
+
+
+def _levels_fwd(c0, c1, coords):
+    return _levels_fast_impl(c0, c1, coords), (c0, c1, coords)
+
+
+def _levels_bwd(res, g):
+    c0, c1, coords = res
+    _, vjp = jax.vjp(corr_block_lookup_levels_gather, c0, c1, coords)
+    return vjp(g)
+
+
+corr_block_lookup_levels.defvjp(_levels_fwd, _levels_bwd)
+
+
 @jax.custom_vjp
 def corr_block_lookup_fast(corr: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """RAFT correlation pyramid lookup via patch slicing (2 levels, r=3).

@@ -98,16 +98,22 @@ def _corr_lookup_kernel(coords_ref, c0t_ref, c1t_ref, out_ref, s0, s1):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _corr_lookup_pallas_impl(corr, coords, interpret=False):
-    from mrfa_tpu.ops.resize import avg_pool
+def _corr_lookup_pallas_pret_impl(c0t, c1t, coords, interpret=False):
+    """Lookup over PRE-TRANSPOSED pyramid levels: zero XLA-side map prep.
 
-    bq, h, w, _ = corr.shape
+    c0t: (BQ, w, h) x-major level-0 maps; c1t: (BQ, w/2, h/2) x-major
+    level-1 maps. The refinement loop produces these directly as einsums
+    against x-major / pooled-x-major source features (models/raft.py), so
+    the cast/transpose/pool of the (4096, 4096) volume that dominated the
+    frame profile disappears entirely.
+    """
+    bq, w, h = c0t.shape
+    assert h == w, "correlation maps must be square (RaftFlow invariant)"
+    out_dtype = c0t.dtype
     # the kernel runs in f32: Mosaic cannot dynamic-slice 8 sublanes of a
     # bf16 array (2-row packing); the boundary casts are bandwidth-trivial
-    in_dtype = corr.dtype
-    corr = corr.astype(jnp.float32)
-    c0t = jnp.transpose(corr[..., 0], (0, 2, 1))  # x-major maps
-    c1t = jnp.transpose(avg_pool(corr, 2)[..., 0], (0, 2, 1))
+    c0t = c0t.astype(jnp.float32)
+    c1t = c1t.astype(jnp.float32)
     bq_p, qpad = _pad_queries(bq)
     if qpad:
         c0t = jnp.pad(c0t, ((0, qpad), (0, 0), (0, 0)))
@@ -127,14 +133,27 @@ def _corr_lookup_pallas_impl(corr, coords, interpret=False):
         out_specs=pl.BlockSpec(
             (QB, 2, WIN, WIN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bq_p, 2, WIN, WIN), corr.dtype),
+        out_shape=jax.ShapeDtypeStruct((bq_p, 2, WIN, WIN), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((w + 2 * PAD, h + 2 * PAD), corr.dtype),
-            pltpu.VMEM((w // 2 + 2 * PAD, h // 2 + 2 * PAD), corr.dtype),
+            pltpu.VMEM((w + 2 * PAD, h + 2 * PAD), jnp.float32),
+            pltpu.VMEM((w // 2 + 2 * PAD, h // 2 + 2 * PAD), jnp.float32),
         ],
         interpret=interpret,
     )(coords, c0t, c1t)
-    return out[:bq].reshape(bq, 2 * WIN * WIN).astype(in_dtype)
+    return out[:bq].reshape(bq, 2 * WIN * WIN).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _corr_lookup_pallas_impl(corr, coords, interpret=False):
+    """Lookup from per-query y-major maps: transpose/pool prep + pret kernel."""
+    from mrfa_tpu.ops.resize import avg_pool
+
+    corr32 = corr.astype(jnp.float32)
+    c0t = jnp.transpose(corr32[..., 0], (0, 2, 1))  # x-major maps
+    c1t = jnp.transpose(avg_pool(corr32, 2)[..., 0], (0, 2, 1))
+    return _corr_lookup_pallas_pret_impl(c0t, c1t, coords, interpret).astype(
+        corr.dtype
+    )
 
 
 def _level_grad_t(scratch_t, g_tile, cx, cy, size):
@@ -683,3 +702,202 @@ def _pl_bwd(res, g):
 
 
 corr_block_lookup_pallas.defvjp(_pl_fwd, _pl_bwd)
+
+
+# ---------------------------------------------------------------------------
+# pret: lookup over PRE-TRANSPOSED levels — the production refinement path.
+#
+# The refinement loop builds each pyramid level directly as an einsum of
+# driving features against x-major (level 0) / pooled-x-major (level 1)
+# source features, which is exact (transpose and avg_pool are linear in the
+# source features) and removes ALL per-frame XLA-side map prep: no f32 cast,
+# no (BQ, h, w) transposes, no volume pooling — the round-3 frame profile
+# showed that prep dominating the device's async-copy time.
+#
+# Forward = the v1 scratch kernel on the maps as given. Backward mirrors the
+# v2 matmul-form extract/scatter with the x/y roles swapped (x-major maps:
+# rows = x = sublanes, cols = y = lanes), emitting d_c0t / d_c1t directly in
+# x-major layout; the upstream einsums' autodiff handles the rest.
+# ---------------------------------------------------------------------------
+
+
+def _prep_targets_pret(c0t32, c1t32, coords):
+    """XLA-side prep for the pret backward kernels (x-major maps).
+
+    Mirrors _prep_targets with x/y swapped: feeding _prep_level coordinates
+    as (cy, cx) makes its 'row' targets track x (the sublane axis of the
+    (BQ*w, h) row stacks) and its 'col' targets track y; its returned
+    fractions come back swapped and are swapped back here.
+
+    Returns (c0, c1, tr0, tr1, t0, t1, fx, fy, size, bq_p).
+    """
+    bq, w, h = c0t32.shape
+    assert h == w, "correlation maps must be square (RaftFlow invariant)"
+    c0 = c0t32.reshape(bq * w, h)
+    c1 = c1t32.reshape(bq * (w // 2), h // 2)
+    coords_sw = coords[:, ::-1]
+    tr0, tc0, fy0, fx0 = _prep_level(coords_sw, h)
+    tr1, tc1, fy1, fx1 = _prep_level(coords_sw * 0.5, h // 2)
+    bq_p, qpad = _pad_queries(bq)
+    if qpad:
+        pad8 = ((0, qpad), (0, 0))
+        tr0 = jnp.pad(tr0, pad8, constant_values=-1)
+        tr1 = jnp.pad(tr1, pad8, constant_values=-1)
+        tc0 = jnp.pad(tc0, pad8, constant_values=-1)
+        tc1 = jnp.pad(tc1, pad8, constant_values=-1)
+        c0 = jnp.pad(c0, ((0, qpad * w), (0, 0)))
+        c1 = jnp.pad(c1, ((0, qpad * (w // 2)), (0, 0)))
+    n = QB * PATCH
+    tr0 = tr0.reshape(-1, 1)
+    tr1 = tr1.reshape(-1, 1)
+    t0 = tc0.reshape(-1, n)
+    t1 = tc1.reshape(-1, n)
+    fx = jnp.stack([fx0, fx1], axis=-1)
+    fy = jnp.stack([fy0, fy1], axis=-1)
+    return c0, c1, tr0, tr1, t0, t1, fx, fy, h, bq_p
+
+
+def _extract_patches_pret(c0t32, c1t32, coords, interpret=False):
+    """Patch extraction from x-major levels; returns (p8, fx, fy) with
+    p8 (BQ, 2, 8, 8) in [x, y] layout (sublanes = x taps, lanes = y taps)
+    and fx/fy (BQ, 2) per-level bilinear fractions."""
+    bq, w, h = c0t32.shape
+    c0, c1, tr0, tr1, t0, t1, fx, fy, size, bq_p = _prep_targets_pret(
+        c0t32, c1t32, coords
+    )
+    n = QB * PATCH
+    nblk = bq_p // QB
+    stacked = pl.pallas_call(
+        _patch_extract_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB * size, size), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (QB * (size // 2), size // 2), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, n, PATCH), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, bq_p * PATCH, PATCH), jnp.float32),
+        interpret=interpret,
+    )(tr0, tr1, t0, t1, c0, c1)
+    p8 = jnp.swapaxes(stacked.reshape(2, bq_p, PATCH, PATCH)[:, :bq], 0, 1)
+    return p8, fx, fy
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _corr_lookup_pallas_pret_bwd_impl(c0t, c1t, coords, g, interpret=False):
+    """x-major mirror of _corr_lookup_pallas_v2_bwd_impl.
+
+    Returns (d_c0t, d_c1t, d_coords) — per-level cotangent maps in the same
+    x-major layout as the inputs (no pool/transpose folding: the upstream
+    level einsums differentiate themselves).
+    """
+    bq, w, h = c0t.shape
+    c0t32 = c0t.astype(jnp.float32)
+    c1t32 = c1t.astype(jnp.float32)
+    # g is x-major (reference channel order c = i*7 + j, i = x) — already
+    # the pret kernels' native [x, y] patch layout, no swap
+    g = g.astype(jnp.float32).reshape(bq, 2, WIN, WIN)
+
+    p8, fx, fy = _extract_patches_pret(c0t32, c1t32, coords, interpret)
+    fxb = fx[..., None, None]
+    fyb = fy[..., None, None]
+    # a.e. derivatives of the bilinear blend; p8 is [x, y]: x-differences
+    # run along sublanes, y along lanes
+    ddx = (1.0 - fyb) * (p8[..., 1:, :WIN] - p8[..., :WIN, :WIN]) + fyb * (
+        p8[..., 1:, 1:] - p8[..., :WIN, 1:]
+    )
+    ddy = (1.0 - fxb) * (p8[..., :WIN, 1:] - p8[..., :WIN, :WIN]) + fxb * (
+        p8[..., 1:, 1:] - p8[..., 1:, :WIN]
+    )
+    dcxl = jnp.sum(g * ddx, axis=(-1, -2))
+    dcyl = jnp.sum(g * ddy, axis=(-1, -2))
+    dc = jnp.stack(
+        [dcxl[:, 0] + 0.5 * dcxl[:, 1], dcyl[:, 0] + 0.5 * dcyl[:, 1]], axis=-1
+    )
+
+    # cotangent patches d8[i, j] = sum_ab w_ab g[i-a, j-b] (BQ, 2, 8, 8);
+    # the fx term shifts along sublanes (x), the fy term along lanes (y)
+    w00 = ((1.0 - fx) * (1.0 - fy))[..., None, None]
+    wx = (fx * (1.0 - fy))[..., None, None]
+    wy = ((1.0 - fx) * fy)[..., None, None]
+    w11 = (fx * fy)[..., None, None]
+    d8 = (
+        w00 * jnp.pad(g, ((0, 0), (0, 0), (0, 1), (0, 1)))
+        + wx * jnp.pad(g, ((0, 0), (0, 0), (1, 0), (0, 1)))
+        + wy * jnp.pad(g, ((0, 0), (0, 0), (0, 1), (1, 0)))
+        + w11 * jnp.pad(g, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    )
+
+    _, _, tr0, tr1, t0, t1, _, _, size, bq_p = _prep_targets_pret(
+        c0t32, c1t32, coords
+    )
+    d8s = jnp.swapaxes(d8, 0, 1).reshape(2, bq * PATCH, PATCH)
+    qpad = bq_p - bq
+    if qpad:
+        d8s = jnp.pad(d8s, ((0, 0), (0, qpad * PATCH), (0, 0)))
+    n = QB * PATCH
+    nblk = bq_p // QB
+    d0p, d1p = pl.pallas_call(
+        _patch_scatter_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n, PATCH), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((QB * size, size), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (QB * (size // 2), size // 2), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bq_p * size, size), jnp.float32),
+            jax.ShapeDtypeStruct((bq_p * (size // 2), size // 2), jnp.float32),
+        ),
+        interpret=interpret,
+    )(tr0, tr1, t0, t1, d8s)
+    d_c0t = d0p.reshape(bq_p, size, size)[:bq].astype(c0t.dtype)
+    d_c1t = d1p.reshape(bq_p, size // 2, size // 2)[:bq].astype(c1t.dtype)
+    return d_c0t, d_c1t, dc.astype(coords.dtype)
+
+
+@jax.custom_vjp
+def corr_block_lookup_pallas_pret(
+    c0t: jnp.ndarray, c1t: jnp.ndarray, coords: jnp.ndarray
+) -> jnp.ndarray:
+    """Fused Pallas lookup over pre-transposed levels (2 levels, r=3).
+
+    Args:
+      c0t: (BQ, w, h) x-major level-0 correlation maps.
+      c1t: (BQ, w/2, h/2) x-major level-1 maps.
+      coords: (BQ, 2) query centers in level-0 pixel coords (xy).
+
+    Returns:
+      (BQ, 98), identical to corr_block_lookup(c0, coords) on the
+      un-transposed maps when c1 = avg_pool(c0) (tests/test_pallas.py).
+    """
+    return _corr_lookup_pallas_pret_impl(c0t, c1t, coords)
+
+
+def _pret_fwd(c0t, c1t, coords):
+    return _corr_lookup_pallas_pret_impl(c0t, c1t, coords), (c0t, c1t, coords)
+
+
+def _pret_bwd(res, g):
+    c0t, c1t, coords = res
+    return _corr_lookup_pallas_pret_bwd_impl(c0t, c1t, coords, g)
+
+
+corr_block_lookup_pallas_pret.defvjp(_pret_fwd, _pret_bwd)

@@ -145,3 +145,45 @@ class TestAntiAlias:
         img = jnp.asarray(_rand(1, 8, 8, 3))
         params = ops.AntiAliasParams.create(1.0)
         assert np.asarray(ops.antialias_downsample(img, params)).shape == (1, 8, 8, 3)
+
+
+class TestSpaceToDepthConv:
+    """The s2d form of the generator's final 7x7 conv is exactly the direct
+    conv (same canonical (7,7,C,O) parameter, rearranged at trace time)."""
+
+    def test_matches_direct_conv(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mrfa_tpu.nn.blocks import SpaceToDepthConv
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 32, 32, 6).astype(np.float32))
+        mod = SpaceToDepthConv(3)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        got = mod.apply(variables, x)
+
+        k = variables["params"]["kernel"]
+        b = variables["params"]["bias"]
+        want = (
+            jax.lax.conv_general_dilated(
+                x, k, (1, 1), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_fallback_non_multiple_of_4(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mrfa_tpu.nn.blocks import SpaceToDepthConv
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 30, 30, 4).astype(np.float32))
+        mod = SpaceToDepthConv(2)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(variables, x)
+        assert out.shape == (1, 30, 30, 2)

@@ -99,3 +99,77 @@ def test_pallas_v2_oob_zero_interpret():
     coords = jnp.asarray([[-50.0, 5.0]] * 4 + [[5.0, 500.0]] * 4)
     out = np.asarray(_corr_lookup_pallas_v2_impl(corr, coords, interpret=True))
     np.testing.assert_allclose(out, 0.0)
+
+
+def _pret_levels(corr):
+    """x-major pret inputs from y-major per-query maps (the oracle's input)."""
+    from mrfa_tpu.ops.resize import avg_pool
+
+    c0t = jnp.transpose(corr[..., 0], (0, 2, 1))
+    c1t = jnp.transpose(avg_pool(corr, 2)[..., 0], (0, 2, 1))
+    return c0t, c1t
+
+
+def test_pallas_pret_fwd_matches_gather_interpret():
+    """The pre-transposed-levels production path (zero XLA-side map prep)
+    matches the gather oracle when fed exact transposes/pools, including
+    query padding and integer coords."""
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_pret_impl
+
+    rng = np.random.RandomState(3)
+    bq = 24  # not a multiple of QB=16: exercises query padding
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = np.stack(
+        [rng.uniform(-12, 76, bq), rng.uniform(-12, 76, bq)], -1
+    ).astype(np.float32)
+    coords[:4] = np.round(coords[:4])
+    coords = jnp.asarray(coords)
+    c0t, c1t = _pret_levels(corr)
+    ref = corr_block_lookup(corr, coords)
+    got = _corr_lookup_pallas_pret_impl(c0t, c1t, coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_pret_bwd_matches_gather_vjp_interpret():
+    """The x-major mirror backward emits d_c0t / d_c1t directly in the maps'
+    layout; folding them back through transpose/pool must reproduce the
+    gather formulation's d_corr, and d_coords must match analytically."""
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_pret_bwd_impl
+
+    rng = np.random.RandomState(4)
+    bq = 24
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = np.stack(
+        [rng.uniform(-8, 72, bq), rng.uniform(-8, 72, bq)], -1
+    ).astype(np.float32)
+    coords = jnp.asarray(coords)
+    g = jnp.asarray(rng.randn(bq, 98).astype(np.float32))
+
+    _, vjp = jax.vjp(corr_block_lookup, corr, coords)
+    want_dcorr, want_dcoords = vjp(g)
+
+    d_c0t, d_c1t, got_dcoords = _corr_lookup_pallas_pret_bwd_impl(
+        *_pret_levels(corr), coords, g, interpret=True
+    )
+    # fold level cotangents back into the y-major un-pooled map space
+    d0 = jnp.transpose(d_c0t, (0, 2, 1))
+    d1 = jnp.transpose(d_c1t, (0, 2, 1))
+    d1_up = jnp.repeat(jnp.repeat(d1, 2, axis=1), 2, axis=2) * 0.25
+    got_dcorr = (d0 + d1_up)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got_dcorr), np.asarray(want_dcorr), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dcoords), np.asarray(want_dcoords), atol=3e-4
+    )
+
+
+def test_pallas_pret_oob_zero_interpret():
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_pret_impl
+
+    corr = jnp.ones((8, 64, 64, 1))
+    coords = jnp.asarray([[-50.0, 5.0]] * 4 + [[5.0, 500.0]] * 4)
+    out = np.asarray(
+        _corr_lookup_pallas_pret_impl(*_pret_levels(corr), coords, interpret=True)
+    )
+    np.testing.assert_allclose(out, 0.0)
