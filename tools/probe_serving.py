@@ -1,0 +1,89 @@
+"""Batched multi-stream serving throughput on one chip (BASELINE config #5).
+
+Measures AnimationServer aggregate frames/sec at S in {1, 4, 8, 16} streams,
+honest value-fetch timing (see bench.py docstring: block_until_ready lies
+through the axon tunnel; fetching the last output's value bounds completion
+of the whole in-order run). The reference scales animation by DDP-sharding
+streams across GPUs (/root/reference/animate_ddp.py:40-124); here one chip
+serves the whole batch in a single jitted step and multi-chip scaling rides
+the 'data' mesh axis (serving.py).
+
+Usage: python tools/probe_serving.py [S ...]   (default 1 4 8)
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mrfa_tpu import precision
+
+    if os.environ.get("MRFA_BENCH_DTYPE", "bf16") == "bf16":
+        precision.set_compute_dtype(jnp.bfloat16)
+
+    from __graft_entry__ import _enable_compilation_cache, _flagship_cfg
+
+    _enable_compilation_cache()
+
+    from mrfa_tpu.models.mrfa import MRFA
+    from mrfa_tpu.serving import AnimationServer
+
+    size = 256
+    cfg = _flagship_cfg(size)
+    model = MRFA(cfg)
+    rng = np.random.RandomState(0)
+
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "equivariance": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    init_fn = jax.jit(
+        functools.partial(model.init, train=True, compute_loss=True, use_bg=True)
+    )
+    variables = init_fn(rngs, dummy, dummy)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }
+    server = AnimationServer(model, variables)
+
+    stream_counts = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+    for s in stream_counts:
+        sources = rng.rand(s, size, size, 3).astype(np.float32)
+        first = rng.rand(s, size, size, 3).astype(np.float32)
+        state = server.open_streams(sources, first)
+        frames = [
+            rng.rand(s, size, size, 3).astype(np.float32) for _ in range(4)
+        ]
+        out = server.serve(state, frames[0])  # warmup / compile
+        _ = np.asarray(out)
+
+        n_iters = max(12, 48 // s)
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            out = server.serve(state, frames[i % len(frames)])
+        checksum = float(np.asarray(out).mean())  # value fetch = completion
+        dt = time.perf_counter() - t0
+        agg = n_iters * s / dt
+        print(
+            f"S={s:3d}: {agg:7.2f} fps aggregate "
+            f"({n_iters} steps, {dt / n_iters * 1e3:.1f} ms/step, "
+            f"checksum {checksum:.4f})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
