@@ -2,8 +2,12 @@
 
 Measures the full per-frame serving step of the flagship (MTIA prior) model —
 driving keypoint encoding + relative normalization + dense motion + 6-step
-RaftFlow refinement + generator decode — as one fused jitted function,
-matching the reference's demo loop work (/root/reference/demo.py:55-72).
+RaftFlow refinement + generator decode — matching the reference's demo loop
+work (/root/reference/demo.py:55-72). The headline number uses the chunked
+animation step (K frames scanned on device per dispatch; per-frame work
+identical to the frame-by-frame step, asserted equal in
+tests/test_animate.py); `per_frame_dispatch_fps` reports the one-dispatch-
+per-frame rate for the latency-critical serving shape.
 
 MEASUREMENT HONESTY (round-2 fix): through the axon dev tunnel,
 `jax.block_until_ready` returns when work is *scheduled*, not when the device
@@ -166,9 +170,31 @@ def main():
     # device execution is in-order: materializing the LAST output's value
     # bounds completion of all n_iters steps (block_until_ready alone lies
     # through the tunnel — see module docstring)
-    checksum = float(np.asarray(out).mean())
+    checksum_pf = float(np.asarray(out).mean())
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    per_frame_fps = n_iters / dt
+
+    # headline: the chunked animation step (Animator.animate_chunk) — K
+    # frames scanned on device per dispatch. Per-frame work is IDENTICAL to
+    # the frame-by-frame step (tests/test_animate.py::test_chunked_matches_
+    # per_frame asserts equality); chunking amortizes the per-dispatch launch
+    # gap, which real clips (and the serving surface) get for free.
+    K = int(os.environ.get("MRFA_BENCH_CHUNK", "8"))
+    chunk = jnp.stack(frames[:K] * (K // len(frames) + 1), 0)[:K]  # (K,1,H,W,3)
+    outs = animator._frame_chunk(
+        animator.variables, src, img_down, kp_source, kp_d0, chunk, scale, cache
+    )
+    _ = np.asarray(outs)  # warmup / compile
+    n_chunks = max(1, 64 // K)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        outs = animator._frame_chunk(
+            animator.variables, src, img_down, kp_source, kp_d0, chunk, scale,
+            cache,
+        )
+    checksum = float(np.asarray(outs[-1]).mean())
+    dt = time.perf_counter() - t0
+    fps = n_chunks * K / dt
 
     result = {
         "metric": "animation_fps_256px",
@@ -176,7 +202,10 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "dtype": dtype_flag,
+        "chunk": K,
+        "per_frame_dispatch_fps": round(per_frame_fps, 2),
         "checksum": round(checksum, 4),
+        "checksum_per_frame": round(checksum_pf, 4),
         "lookup_exactness": lookup_exactness,
     }
     if flops_per_frame:

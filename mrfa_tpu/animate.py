@@ -115,6 +115,32 @@ class Animator:
                 v, src, dwn, kps, kpd0, frame, scale, cache, method=frame_step
             )
         )
+
+        def chunk_step(model, source, img_down, kp_source, kp_driving_initial,
+                       frames, scale, source_cache):
+            # statically unrolled loop over the chunk's frame axis: identical
+            # per-frame work, ONE dispatch for K frames — removes the
+            # per-frame host->device launch gap of the frame-by-frame loop
+            # (the reference's demo.py loop pays it per frame). Unrolled, not
+            # lax.scan: a scanned body pins loop-carried layouts and gags the
+            # latency-hiding scheduler (measured 2.5x SLOWER than per-frame
+            # dispatch on v5e); unrolling keeps the flat-graph schedule and
+            # lets consecutive frames' ops overlap. Compile time scales with
+            # K — keep chunks small (4-8).
+            outs = []
+            for k in range(frames.shape[0]):
+                out, _, _ = frame_step(
+                    model, source, img_down, kp_source, kp_driving_initial,
+                    frames[k], scale, source_cache,
+                )
+                outs.append(out)
+            return jnp.stack(outs, 0)  # (K, B, H, W, 3)
+
+        self._frame_chunk = jax.jit(
+            lambda v, src, dwn, kps, kpd0, frames, scale, cache: model.apply(
+                v, src, dwn, kps, kpd0, frames, scale, cache, method=chunk_step
+            )
+        )
         # per-clip-constant decoder source work (generator pyramid + f_s) —
         # the reference recomputes this every frame (demo.py:55-72)
         self._encode_source = jax.jit(
@@ -155,17 +181,44 @@ class Animator:
             cache,
         )
 
+    def animate_chunk(self, clip_state, driving_frames):
+        """Animate K frames in one device dispatch: (K, H, W, 3) -> (K, B, H, W, 3).
+
+        Per-frame work is identical to `animate_frame` (scanned on device);
+        use for offline clips or streamed serving that can afford K frames of
+        latency. All chunks of the same K share one compiled program.
+        """
+        source, img_down, kp_source, kp_d0, scale, cache = clip_state
+        frames = jnp.asarray(driving_frames)
+        if frames.ndim == 4:
+            frames = frames[:, None]  # (K, 1, H, W, 3)
+        return self._frame_chunk(
+            self.variables, source, img_down, kp_source, kp_d0, frames, scale,
+            cache,
+        )
+
     def make_animation(
         self,
         source_image: np.ndarray,  # (H, W, 3) in [0, 1]
         driving_video: np.ndarray,  # (T, H, W, 3)
         adapt_movement_scale: bool = False,
+        chunk: int = 1,
     ) -> List[np.ndarray]:
         clip_state = self.begin(source_image, driving_video[0], adapt_movement_scale)
         predictions = []
-        for frame in driving_video:
-            out, _, _ = self.animate_frame(clip_state, frame)
-            predictions.append(np.asarray(out[0]))
+        t = 0
+        n = len(driving_video)
+        while t < n:
+            if chunk > 1 and n - t >= chunk:
+                outs = self.animate_chunk(
+                    clip_state, np.asarray(driving_video[t : t + chunk])
+                )
+                predictions.extend(np.asarray(outs[:, 0]))
+                t += chunk
+            else:
+                out, _, _ = self.animate_frame(clip_state, driving_video[t])
+                predictions.append(np.asarray(out[0]))
+                t += 1
         return predictions
 
     def find_best_frame(self, source_image: np.ndarray, driving_video: np.ndarray) -> int:

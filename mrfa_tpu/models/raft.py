@@ -193,7 +193,14 @@ class RaftFlow(nn.Module):
         # instead of a broadcast-multiply over the (nq, 4096) maps — the
         # round-3 profile showed that multiply costing ~0.5 ms/frame
         fd = fd_sp.reshape(b, nq, dim) * self.scale
-        out_dt = fd.dtype if train else jnp.float32
+        # maps carry the compute dtype (bf16 under the serving/train policy):
+        # the (b*nq, 4096) level-0 maps are the largest intermediates in the
+        # whole frame step, and their write + kernel-read traffic halves in
+        # bf16. Lookup selection is exact per-entry in any dtype (one-hot
+        # dots), the bilinear blend accumulates in f32, and the consumer
+        # (BasicMotionEncoder) is bf16 anyway; f32-policy runs (goldens,
+        # MRFA_BENCH_DTYPE=f32) are unchanged.
+        out_dt = fd.dtype
         s0 = f_s_layouts["x"] if impl == "pallas" else f_s_layouts["y"]
         s1 = f_s_layouts["px"] if impl == "pallas" else f_s_layouts["py"]
         c0 = jnp.einsum("bqc,bjc->bqj", fd, s0, preferred_element_type=out_dt)

@@ -89,8 +89,11 @@ def _corr_lookup_kernel(coords_ref, c0t_ref, c1t_ref, out_ref, s0, s1):
     h0 = c0t_ref.shape[1]
     h1 = c1t_ref.shape[1]
     for q in range(QB):  # static unroll over the query block
-        s0[pl.ds(PAD, h0), pl.ds(PAD, h0)] = c0t_ref[q]
-        s1[pl.ds(PAD, h1), pl.ds(PAD, h1)] = c1t_ref[q]
+        # per-tile convert at the scratch write: bf16 maps stream from HBM
+        # at half the traffic; dynamic sublane slicing (which Mosaic cannot
+        # do on 2-row-packed bf16) only ever touches the f32 scratch
+        s0[pl.ds(PAD, h0), pl.ds(PAD, h0)] = c0t_ref[q].astype(s0.dtype)
+        s1[pl.ds(PAD, h1), pl.ds(PAD, h1)] = c1t_ref[q].astype(s1.dtype)
         cx = coords_ref[q, 0]
         cy = coords_ref[q, 1]
         out_ref[q, 0] = _level_sample_t(s0, cx, cy, h0)
@@ -110,10 +113,10 @@ def _corr_lookup_pallas_pret_impl(c0t, c1t, coords, interpret=False):
     bq, w, h = c0t.shape
     assert h == w, "correlation maps must be square (RaftFlow invariant)"
     out_dtype = c0t.dtype
-    # the kernel runs in f32: Mosaic cannot dynamic-slice 8 sublanes of a
-    # bf16 array (2-row packing); the boundary casts are bandwidth-trivial
-    c0t = c0t.astype(jnp.float32)
-    c1t = c1t.astype(jnp.float32)
+    # maps stream into the kernel in their own dtype (bf16 under the
+    # compute policy = half the HBM read traffic, and no XLA-side f32
+    # materialization of the frame's largest intermediate); the kernel
+    # converts per-tile at the f32 scratch write
     bq_p, qpad = _pad_queries(bq)
     if qpad:
         c0t = jnp.pad(c0t, ((0, qpad), (0, 0), (0, 0)))

@@ -70,6 +70,22 @@ class TestAnimator:
         assert preds[0].shape == (SIZE, SIZE, 3)
         assert np.isfinite(preds[0]).all()
 
+    def test_chunked_matches_per_frame(self, tiny_model):
+        """animate_chunk (scan-on-device, one dispatch per K frames) is a
+        pure batching refactor: outputs must equal the per-frame path."""
+        model, variables = tiny_model
+        animator = Animator(model, variables, relative=True)
+        rng = np.random.RandomState(4)
+        source = rng.rand(SIZE, SIZE, 3).astype(np.float32)
+        driving = rng.rand(4, SIZE, SIZE, 3).astype(np.float32)
+        state = animator.begin(source, driving[0])
+        want = [np.asarray(animator.animate_frame(state, f)[0][0]) for f in driving]
+        got = np.asarray(animator.animate_chunk(state, driving)[:, 0])
+        np.testing.assert_allclose(got, np.stack(want), atol=1e-5)
+        # make_animation with chunk= covers the remainder path (4 = 3 + 1)
+        preds = animator.make_animation(source, driving, chunk=3)
+        np.testing.assert_allclose(np.stack(preds), np.stack(want), atol=1e-5)
+
     def test_find_best_frame(self, tiny_model):
         model, variables = tiny_model
         animator = Animator(model, variables)
@@ -150,3 +166,15 @@ class TestServing:
         out = server.serve(state, first)
         assert out.shape == (2, SIZE, SIZE, 3)
         assert bool(jnp.isfinite(out).all())
+
+    def test_serve_chunk_matches_serve(self, tiny_model):
+        model, variables = tiny_model
+        server = AnimationServer(model, variables)
+        rng = np.random.RandomState(5)
+        sources = rng.rand(2, SIZE, SIZE, 3).astype(np.float32)
+        first = rng.rand(2, SIZE, SIZE, 3).astype(np.float32)
+        state = server.open_streams(sources, first)
+        frames = rng.rand(3, 2, SIZE, SIZE, 3).astype(np.float32)
+        want = np.stack([np.asarray(server.serve(state, f)) for f in frames])
+        got = np.asarray(server.serve_chunk(state, frames))
+        np.testing.assert_allclose(got, want, atol=1e-5)

