@@ -45,7 +45,14 @@ def _pad_queries(bq):
 
 
 def _level_sample_t(scratch_t, cx, cy, size):
-    """7x7 window from a zero-padded TRANSPOSED map scratch (x rows, y cols).
+    """7x7 window from a TRANSPOSED map scratch (x rows padded, y cols raw).
+
+    The scratch is padded ONLY on the sublane (x) axis — the dynamic band
+    slice needs real rows there. The lane (y) axis carries the map columns
+    unpadded: out-of-range y taps fold into the one-hot selection (a target
+    outside [0, size) matches no column -> exact zeros), so the per-query
+    scratch write is a full-width, lane-ALIGNED store (the old (PAD, PAD)
+    interior write was lane-misaligned and dominated kernel time).
 
     Returns (7, 7) with [i, j] = bilinear sample at (x + i - r, y + j - r) —
     the reference channel order after row-major flattening.
@@ -57,12 +64,12 @@ def _level_sample_t(scratch_t, cx, cy, size):
     x0c = jnp.clip(x0, -(RADIUS + 2), size + RADIUS).astype(jnp.int32)
     y0c = jnp.clip(y0, -(RADIUS + 2), size + RADIUS).astype(jnp.int32)
     sx = x0c + PAD - RADIUS
-    sy = y0c + PAD - RADIUS
-    band = scratch_t[pl.ds(sx, PATCH), :]  # (8, size+2*PAD): rows = x
-    hpad = scratch_t.shape[1]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (hpad, PATCH), 0)
-    sel_ids = sy + jax.lax.broadcasted_iota(jnp.int32, (hpad, PATCH), 1)
-    onehot = (col_ids == sel_ids).astype(band.dtype)  # (hpad, 8)
+    sy = y0c - RADIUS  # raw y target: OOB columns select nothing
+    band = scratch_t[pl.ds(sx, PATCH), :]  # (8, size): rows = x
+    h = scratch_t.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, PATCH), 0)
+    sel_ids = sy + jax.lax.broadcasted_iota(jnp.int32, (h, PATCH), 1)
+    onehot = (col_ids == sel_ids).astype(band.dtype)  # (h, 8)
     # one-hot selection; HIGHEST precision (bf16x3 passes, 24 mantissa bits)
     # keeps the pass-through values bit-exact, unlike the default MXU path
     p8t = jax.lax.dot_general(
@@ -91,9 +98,10 @@ def _corr_lookup_kernel(coords_ref, c0t_ref, c1t_ref, out_ref, s0, s1):
     for q in range(QB):  # static unroll over the query block
         # per-tile convert at the scratch write: bf16 maps stream from HBM
         # at half the traffic; dynamic sublane slicing (which Mosaic cannot
-        # do on 2-row-packed bf16) only ever touches the f32 scratch
-        s0[pl.ds(PAD, h0), pl.ds(PAD, h0)] = c0t_ref[q].astype(s0.dtype)
-        s1[pl.ds(PAD, h1), pl.ds(PAD, h1)] = c1t_ref[q].astype(s1.dtype)
+        # do on 2-row-packed bf16) only ever touches the f32 scratch. The
+        # write targets (PAD, 0) — sublane-offset only, lane-aligned.
+        s0[pl.ds(PAD, h0), :] = c0t_ref[q].astype(s0.dtype)
+        s1[pl.ds(PAD, h1), :] = c1t_ref[q].astype(s1.dtype)
         cx = coords_ref[q, 0]
         cy = coords_ref[q, 1]
         out_ref[q, 0] = _level_sample_t(s0, cx, cy, h0)
@@ -138,8 +146,10 @@ def _corr_lookup_pallas_pret_impl(c0t, c1t, coords, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((bq_p, 2, WIN, WIN), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((w + 2 * PAD, h + 2 * PAD), jnp.float32),
-            pltpu.VMEM((w // 2 + 2 * PAD, h // 2 + 2 * PAD), jnp.float32),
+            # x (sublane) axis padded for the dynamic band slice; y (lane)
+            # axis unpadded — OOB y taps fold into the one-hot selection
+            pltpu.VMEM((w + 2 * PAD, h), jnp.float32),
+            pltpu.VMEM((w // 2 + 2 * PAD, h // 2), jnp.float32),
         ],
         interpret=interpret,
     )(coords, c0t, c1t)
