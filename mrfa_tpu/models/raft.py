@@ -70,6 +70,35 @@ class RefineFlow(nn.Module):
         return jnp.concatenate([flow, occ], axis=-1), inp
 
 
+def _warp_decode(
+    gen, features, flow_ws, occs, deformation, occ_prior, warp_img, train,
+    basic_res_index,
+):
+    """Per-scale feature warps + coarse prior-flow branch + generator decode
+    as ONE region (remat'd under training).
+
+    Split out of _refine_iter so the up-to-(b, 256, 256, 64) warped feature
+    tensors are intermediates of THIS checkpointed region — recomputed in
+    its backward — instead of per-iteration remat outputs pinned in HBM for
+    the whole forward (they cost ~1.3 GB padded at the reference batch 10).
+    The iterations hand over only the small flow_w / occlusion tensors.
+    """
+    out_warp_f, out_warp_f_c, out_occ_c = [], [], []
+    for i, (feat, flow_w) in enumerate(zip(features, flow_ws)):
+        res = feat.shape[1]
+        id_grid = coords_grid(res, res, dtype=flow_w.dtype)[None]
+        out_warp_f.append(sample_pixel(feat, flow_w + id_grid))
+        # coarse branch: warp by the prior flow alone
+        if i != basic_res_index:
+            flow_res = resize_bilinear(deformation, res, align_corners=True)
+            occ_res = resize_bilinear(occ_prior, res, align_corners=True)
+        else:
+            flow_res, occ_res = deformation, occ_prior
+        out_warp_f_c.append(grid_sample(feat, flow_res, align_corners=False))
+        out_occ_c.append(jax.nn.sigmoid(occ_res))
+    return gen.decode(out_warp_f, warp_img, occs, out_warp_f_c, out_occ_c, train)
+
+
 def _trunc_normal_init(std: float):
     def init(key, shape, dtype=jnp.float32):
         return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
@@ -236,11 +265,11 @@ class RaftFlow(nn.Module):
         d_occ_pre,
         map0,
         map1,
+        q_d,
+        f_s_layouts,
         feature_i,
         init_flow,
         init_occlusion,
-        deformation,
-        occ_prior,
     ):
         """One refinement iteration (resolution (size//32)*2^i).
 
@@ -248,13 +277,32 @@ class RaftFlow(nn.Module):
         (`nn.remat` in __call__): every intra-iteration activation — the
         98-channel lookups, motion features, refine convs — is recomputed in
         the backward instead of living in HBM for the rest of the forward.
-        Iteration boundaries (flow/occlusion carries, the per-iteration
-        correlation levels, and the per-scale outputs) are the only saved
-        tensors.
+
+        Correlation levels come in one of two ways:
+          - (map0, map1) precomputed and SHARED across the full-res
+            iterations (eval/serving: one einsum for three iterations);
+          - q_d + f_s_layouts with maps=None (training under remat: the
+            levels are built INSIDE the checkpointed iteration, so the
+            (b*4096, 64, 64) map stacks are recomputed in the backward —
+            a ~0.2 ms einsum — instead of living in HBM across the whole
+            forward, which cost ~2 GB padded at the reference batch 10).
+
+        Only the small flow/occlusion carries cross the remat boundary;
+        the per-scale feature warps happen in the decode tail (also
+        remat'd), not here, so no full-res 64-channel outputs are saved
+        per iteration either.
         """
         b = flow.shape[0]
         res = (self.size // 32) * (2**i)
         id_grid = coords_grid(res, res, dtype=flow.dtype)[None]
+
+        if map0 is None:
+            # build the levels inside the checkpointed region (training)
+            if i < self.basic_res_index:
+                fd_sp = avg_pool(q_d, 2 ** (self.basic_res_index - i))
+            else:
+                fd_sp = q_d
+            impl, map0, map1 = self._build_levels(fd_sp, f_s_layouts, train)
 
         # -- query coords against the (driving-pooled) correlation levels --
         if i < self.basic_res_index:
@@ -287,18 +335,13 @@ class RaftFlow(nn.Module):
         flow_w = flow + d_flow
         occlusion = occlusion + d_occ
 
-        warp_f_out = sample_pixel(feature_i, flow_w + id_grid)
-        occ_out = jax.nn.sigmoid(occlusion)
-
-        # -- coarse branch: warp by the prior flow alone --
-        if i != self.basic_res_index:
-            flow_res = resize_bilinear(deformation, res, align_corners=True)
-            occlusion_res = resize_bilinear(occ_prior, res, align_corners=True)
-        else:
-            flow_res = deformation
-            occlusion_res = occ_prior
-        warp_f_c_out = grid_sample(feature_i, flow_res, align_corners=False)
-        occ_c_out = jax.nn.sigmoid(occlusion_res)
+        # per-scale outputs: only the SMALL flow_w / occlusion logits leave
+        # the checkpointed iteration; the 64-channel feature warps and the
+        # coarse prior-flow branch live in the remat'd decode tail
+        # (_warp_decode), so they are recomputed in the backward instead of
+        # being saved at up to (b, 256, 256, 64) per iteration
+        flow_w_out = flow_w
+        occ_logits_out = occlusion
 
         # -- telescoping upsample of deltas on top of the prior flow --
         if i < self.total_iter - 1:
@@ -325,7 +368,7 @@ class RaftFlow(nn.Module):
 
         return (
             flow, occlusion, d_f_pre, d_occ_pre,
-            warp_f_out, occ_out, warp_f_c_out, occ_c_out,
+            flow_w_out, occ_logits_out,
         )
 
     def encode_source(self, kp_s, img, img_full, train=False):
@@ -440,18 +483,27 @@ class RaftFlow(nn.Module):
             "py": f_s_p.reshape(b, h * w // 4, self.dim),
             "px": jnp.swapaxes(f_s_p, 1, 2).reshape(b, h * w // 4, self.dim),
         }
+        # training under remat builds the levels INSIDE each checkpointed
+        # iteration (recomputed in the backward, not stored — see
+        # _refine_iter); eval/serving precomputes them here so the full-res
+        # levels are built ONCE and shared by the last three iterations
+        build_inside = self.remat and train
         levels: List[Any] = []
         full_levels = None
-        for i in range(self.total_iter):
-            if i < self.basic_res_index:
-                f = 2 ** (self.basic_res_index - i)
-                # driving-pooled queries (exact: avg_pool commutes with the
-                # correlation dot; reference pools the volume, raft.py:230)
-                levels.append(self._build_levels(avg_pool(q_d, f), f_s_layouts, train))
-            else:
-                if full_levels is None:
-                    full_levels = self._build_levels(q_d, f_s_layouts, train)
-                levels.append(full_levels)
+        if not build_inside:
+            for i in range(self.total_iter):
+                if i < self.basic_res_index:
+                    f = 2 ** (self.basic_res_index - i)
+                    # driving-pooled queries (exact: avg_pool commutes with
+                    # the correlation dot; reference pools the volume,
+                    # raft.py:230)
+                    levels.append(
+                        self._build_levels(avg_pool(q_d, f), f_s_layouts, train)
+                    )
+                else:
+                    if full_levels is None:
+                        full_levels = self._build_levels(q_d, f_s_layouts, train)
+                    levels.append(full_levels)
 
         # --- prior motion initialization (normalized -> pixel flow) ---
         id_grid64 = coords_grid(h, w, dtype=dense_motion["deformation"].dtype)[None]
@@ -463,10 +515,8 @@ class RaftFlow(nn.Module):
             init_occlusion, self.size // 32, align_corners=True
         )
 
-        out_warp_f: List[jnp.ndarray] = []
-        out_occlusion: List[jnp.ndarray] = []
-        out_warp_f_c: List[jnp.ndarray] = []
-        out_occlusion_c: List[jnp.ndarray] = []
+        out_flow_w: List[jnp.ndarray] = []
+        out_occ_logits: List[jnp.ndarray] = []
         d_f_pre = None
         d_occ_pre = None
 
@@ -479,19 +529,27 @@ class RaftFlow(nn.Module):
         )
 
         for i in range(self.total_iter):
-            impl_i, map0_i, map1_i = levels[i]
+            if build_inside:
+                # query count for this iteration: res^2 until the basic res,
+                # then h^2 (coords are resampled to the basic grid)
+                nq_i = min((self.size // 32) * 2**i, self.h) ** 2
+                impl_i, map0_i, map1_i = (
+                    self._resolve_lookup_impl(b * nq_i), None, None,
+                )
+            else:
+                impl_i, map0_i, map1_i = levels[i]
             (
                 flow, occlusion, d_f_pre, d_occ_pre,
-                warp_f_i, occ_i, warp_f_c_i, occ_c_i,
+                flow_w_i, occ_logits_i,
             ) = iter_fn(
                 self, i, train, impl_i, flow, occlusion, d_f_pre, d_occ_pre,
-                map0_i, map1_i, feature[i], init_flow, init_occlusion,
-                dense_motion["deformation"], dense_motion["occlusion"],
+                map0_i, map1_i,
+                q_d if build_inside else None,
+                f_s_layouts if build_inside else None,
+                feature[i], init_flow, init_occlusion,
             )
-            out_warp_f.append(warp_f_i)
-            out_occlusion.append(occ_i)
-            out_warp_f_c.append(warp_f_c_i)
-            out_occlusion_c.append(occ_c_i)
+            out_flow_w.append(flow_w_i)
+            out_occ_logits.append(occ_logits_i)
 
         # NB: matches the reference — the final warp uses the pre-refinement
         # flow of the last iteration (raft.py:302 uses `flow`, not `flow_w`)
@@ -505,19 +563,21 @@ class RaftFlow(nn.Module):
         warp_img = sample_pixel(
             img_full if cd is None else img_full.astype(cd), flow + id_grid
         )
+        out_occlusion = [jax.nn.sigmoid(l) for l in out_occ_logits]
         decode_fn = (
-            nn.remat(OcclusionAwareGenerator.decode, static_argnums=(6,))
+            nn.remat(_warp_decode, static_argnums=(7, 8))
             if self.remat
-            else OcclusionAwareGenerator.decode
+            else _warp_decode
         )
         out = decode_fn(
-            self.gen, out_warp_f, warp_img, out_occlusion,
-            out_warp_f_c, out_occlusion_c, train,
+            self.gen, [feature[i] for i in range(self.total_iter)],
+            out_flow_w, out_occlusion, dense_motion["deformation"],
+            dense_motion["occlusion"], warp_img, train, self.basic_res_index,
         )
 
-        out_occlusion.append(jax.nn.sigmoid(init_occlusion))
+        vis_occ = out_occlusion + [jax.nn.sigmoid(init_occlusion)]
         vis = [
-            resize_bilinear(o, self.size, align_corners=True) for o in out_occlusion
+            resize_bilinear(o, self.size, align_corners=True) for o in vis_occ
         ]
         occlusion_vis = jnp.concatenate(vis, axis=2)
         return out, warp_img, occlusion_vis

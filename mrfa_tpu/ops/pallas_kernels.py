@@ -420,13 +420,13 @@ def _colsel(tgt_row, w, dtype):
     return (x_ids == tgt_row[None, :]).astype(dtype)
 
 
-def _rowsel(trow_col, nrows, dtype):
+def _rowsel(trow, nrows, dtype):
     """(n, nrows) one-hot row selection: R[r, src] = (src == trow[r]).
 
-    trow_col is an (n, 1) int32 column; -1 targets select nothing.
+    trow is an (n,) int32 vector; -1 targets select nothing.
     """
-    src_ids = jax.lax.broadcasted_iota(jnp.int32, (trow_col.shape[0], nrows), 1)
-    return (src_ids == trow_col).astype(dtype)
+    src_ids = jax.lax.broadcasted_iota(jnp.int32, (trow.shape[0], nrows), 1)
+    return (src_ids == trow[:, None]).astype(dtype)
 
 
 def _patch_extract_kernel(tr0_ref, tr1_ref, t0_ref, t1_ref, c0_ref, c1_ref, out_ref):
@@ -438,16 +438,22 @@ def _patch_extract_kernel(tr0_ref, tr1_ref, t0_ref, t1_ref, c0_ref, c1_ref, out_
     the whole 16-query block:
       bands   = rowsel (n, QB*h) @ maps (QB*h, w)          [y taps, 1 MXU op]
       p_full  = bands @ colsel (w, n)                      [x taps, 1 MXU op]
-      patches = (p_full * blockdiag_mask) @ diag_gather    [1 MXU op]
+      patches = dg^T-contracted (p_full * blockdiag_mask)  [1 MXU op]
     The mask keeps each query's own 8 columns. OOB taps carry target -1 /
     out-of-range and select nothing -> exact grid_sample zeros semantics,
     with NO map padding (level-0 maps stream zero-copy from the NHWC
     correlation stack). HIGHEST precision keeps f32 pass-through exact.
+    Maps may arrive bf16 (the training compute dtype): converted per-block
+    here; all selection math runs f32.
 
-    tr0/tr1_ref: (QB*8, 1) int32 per-(query, y-tap) source-row targets.
-    t0/t1_ref: (n_blocks, QB*8) int32 x-targets (resident; row = block).
-    out_ref: (2, QB*8, 8): out[l, q*8+j_y, i_x] = tap value of level l at
-      (x0-3+i_x, y0-3+j_y); zeros when out of bounds.
+    ALL host-side buffer shapes are chosen padding-free for the TPU (8, 128)
+    tiling — (n, 1) columns pad 128x and (.., 8) lane tails pad 16x, which
+    blew the b=10 train step past HBM (round-3 OOM):
+    tr0/tr1_ref: (n_blocks, QB*8) int32 per-(query, row-tap) source-row
+      targets (resident; row = block).
+    t0/t1_ref: (n_blocks, QB*8) int32 col-targets (resident; row = block).
+    out_ref: (2, 8, QB*8): out[l, j_col, q*8+j_row] = tap value of level l;
+      zeros when out of bounds.
     """
     n = QB * PATCH
     blk = pl.program_id(0)
@@ -457,13 +463,15 @@ def _patch_extract_kernel(tr0_ref, tr1_ref, t0_ref, t1_ref, c0_ref, c1_ref, out_
         ((tr0_ref, t0_ref, c0_ref), (tr1_ref, t1_ref, c1_ref))
     ):
         w = c_ref.shape[1]
+        trow = tr_ref[pl.ds(blk, 1), :][0, :]  # (n,) this block's row targets
         bands = jax.lax.dot_general(
-            _rowsel(tr_ref[:, :], c_ref.shape[0], jnp.float32), c_ref[:, :],
+            _rowsel(trow, c_ref.shape[0], jnp.float32),
+            c_ref[:, :].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (n, w): bands[q*8+jy, :] = map_q row (y0-3+jy), zeros if OOB
-        tgt = tc_ref[pl.ds(blk, 1), :][0, :]  # (n,) this block's x targets
+        )  # (n, w): bands[q*8+jr, :] = map_q row (r0-3+jr), zeros if OOB
+        tgt = tc_ref[pl.ds(blk, 1), :][0, :]  # (n,) this block's col targets
         p_full = jax.lax.dot_general(
             bands, _colsel(tgt, w, jnp.float32),
             (((1,), (0,)), ((), ())),
@@ -471,10 +479,10 @@ def _patch_extract_kernel(tr0_ref, tr1_ref, t0_ref, t1_ref, c0_ref, c1_ref, out_
             preferred_element_type=jnp.float32,
         )  # (n, n)
         out_ref[l] = jax.lax.dot_general(
-            p_full * mask, dg, (((1,), (0,)), ((), ())),
+            dg, p_full * mask, (((0,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (n, 8)
+        )  # (8, n): [j_col, q*8+j_row]
 
 
 def _prep_targets(corr32, coords):
@@ -499,8 +507,8 @@ def _prep_targets(corr32, coords):
         c0 = jnp.pad(c0, ((0, qpad * h), (0, 0)))
         c1 = jnp.pad(c1, ((0, qpad * (h // 2)), (0, 0)))
     n = QB * PATCH
-    tr0 = tr0.reshape(-1, 1)  # (BQ_p*8, 1) column layout for the kernel
-    tr1 = tr1.reshape(-1, 1)
+    tr0 = tr0.reshape(-1, n)  # (n_blocks, QB*8) — padding-free layout
+    tr1 = tr1.reshape(-1, n)
     t0 = tc0.reshape(-1, n)  # (n_blocks, QB*8)
     t1 = tc1.reshape(-1, n)
     fx = jnp.stack([fx0, fx1], axis=-1)
@@ -520,8 +528,8 @@ def _extract_patches(corr32, coords, interpret=False):
         _patch_extract_kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((QB * h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -530,14 +538,15 @@ def _extract_patches(corr32, coords, interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (2, n, PATCH), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (2, PATCH, n), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((2, bq_p * PATCH, PATCH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, PATCH, bq_p * PATCH), jnp.float32),
         interpret=interpret,
     )(tr0, tr1, t0, t1, c0, c1)
-    p8 = jnp.swapaxes(
-        stacked.reshape(2, bq_p, PATCH, PATCH)[:, :bq], 0, 1
-    )  # (BQ, 2, 8, 8)
+    # stacked[l, j_col, q*8+j_row] -> p8[q, l, j_row, j_col]
+    p8 = jnp.transpose(
+        stacked.reshape(2, PATCH, bq_p, PATCH), (2, 0, 3, 1)
+    )[:bq]  # (BQ, 2, 8, 8)
     return p8, fx, fy
 
 
@@ -565,14 +574,18 @@ def _corr_lookup_pallas_v2_impl(corr, coords, interpret=False):
 def _patch_scatter_kernel(tr0_ref, tr1_ref, t0_ref, t1_ref, d8_ref, d0_ref, d1_ref):
     """Matmul-form cotangent scatter (exact transpose of the extract kernel).
 
-    All 16 queries' (8, 8) cotangent patches are widened over the x axis
+    All 16 queries' (8, 8) cotangent patches are widened over the col axis
     (expand 8 columns -> block columns, mask the block-diagonal, multiply
-    by colsel^T; x-OOB targets drop), then scattered over y by the
+    by colsel; col-OOB targets drop), then scattered over rows by the
     TRANSPOSED row-selection matmul — which also writes the zeros
     everywhere else, so no zeroing pass and no dynamic writes exist.
 
-    d8_ref: (2, QB*8, 8) stacked cotangent patches ([y, x] layout).
-    d0/d1_ref: (QB*size, size) per-query cotangent maps (unpadded).
+    tr0/tr1/t0/t1_ref: (n_blocks, QB*8) int32 targets (resident; row = blk).
+    d8_ref: (2, 8, QB*8) cotangent patches, [l, j_col, q*8+j_row] —
+      padding-free lane layout (the old (2, QB*8, 8) shape padded 16x in
+      HBM and OOM'd the b=10 train step).
+    d0/d1_ref: (QB*size, size) per-query cotangent maps (unpadded), in the
+      input maps' dtype.
     """
     n = QB * PATCH
     blk = pl.program_id(0)
@@ -582,24 +595,25 @@ def _patch_scatter_kernel(tr0_ref, tr1_ref, t0_ref, t1_ref, d8_ref, d0_ref, d1_r
         ((tr0_ref, t0_ref, d0_ref), (tr1_ref, t1_ref, d1_ref))
     ):
         w = dref.shape[1]
-        tgt = tc_ref[pl.ds(blk, 1), :][0, :]  # (n,) this block's x targets
-        expand = jax.lax.dot_general(
-            d8_ref[l], dg, (((1,), (1,)), ((), ())),
+        tgt = tc_ref[pl.ds(blk, 1), :][0, :]  # (n,) this block's col targets
+        expand_t = jax.lax.dot_general(
+            dg, d8_ref[l], (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (n, n): expand[q*8+jy, c] = d8[l, q*8+jy, c % 8]
-        widened = jax.lax.dot_general(
-            expand * mask, _colsel(tgt, w, jnp.float32),
-            (((1,), (1,)), ((), ())),
+        )  # (n, n): expand_t[c, q*8+jr] = d8[l, c % 8, q*8+jr]
+        widened_t = jax.lax.dot_general(
+            _colsel(tgt, w, jnp.float32), expand_t * mask,
+            (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (n, w): widened[q*8+jy, x] = d8_q[jy, jx] at x = x0-3+jx
+        )  # (w, n): widened_t[x, q*8+jr] = d8_q[jc, jr] at x = c0-3+jc
+        trow = tr_ref[pl.ds(blk, 1), :][0, :]
         dref[:, :] = jax.lax.dot_general(
-            _rowsel(tr_ref[:, :], dref.shape[0], jnp.float32), widened,
-            (((0,), (0,)), ((), ())),
+            _rowsel(trow, dref.shape[0], jnp.float32), widened_t,
+            (((0,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (QB*size, w): d[src, x] = widened[r, x] where trow[r] = src
+        ).astype(dref.dtype)  # (QB*size, w): d[src, x] = widened[r, x]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -643,22 +657,23 @@ def _corr_lookup_pallas_v2_bwd_impl(corr, coords, g, interpret=False):
     )
 
     _, _, tr0, tr1, t0, t1, _, _, h, w, bq_p = _prep_targets(corr32, coords)
-    # stacked level-major layout for the kernel: (2, BQ*8, 8)
-    d8s = jnp.swapaxes(d8, 0, 1).reshape(2, bq * PATCH, PATCH)
+    # level-major TRANSPOSED layout for the kernel: (2, 8, BQ*8) — lanes are
+    # the (query, row-tap) axis, so no (.., 8) lane-tail padding in HBM
+    d8s = jnp.transpose(d8, (1, 3, 0, 2)).reshape(2, PATCH, bq * PATCH)
     qpad = bq_p - bq
     if qpad:
-        d8s = jnp.pad(d8s, ((0, 0), (0, qpad * PATCH), (0, 0)))
+        d8s = jnp.pad(d8s, ((0, 0), (0, 0), (0, qpad * PATCH)))
     n = QB * PATCH
     nblk = bq_p // QB
     d0p, d1p = pl.pallas_call(
         _patch_scatter_kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, n, PATCH), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, PATCH, n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((QB * h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -761,8 +776,8 @@ def _prep_targets_pret(c0t32, c1t32, coords):
         c0 = jnp.pad(c0, ((0, qpad * w), (0, 0)))
         c1 = jnp.pad(c1, ((0, qpad * (w // 2)), (0, 0)))
     n = QB * PATCH
-    tr0 = tr0.reshape(-1, 1)
-    tr1 = tr1.reshape(-1, 1)
+    tr0 = tr0.reshape(-1, n)  # (n_blocks, QB*8) — padding-free layout
+    tr1 = tr1.reshape(-1, n)
     t0 = tc0.reshape(-1, n)
     t1 = tc1.reshape(-1, n)
     fx = jnp.stack([fx0, fx1], axis=-1)
@@ -770,13 +785,14 @@ def _prep_targets_pret(c0t32, c1t32, coords):
     return c0, c1, tr0, tr1, t0, t1, fx, fy, h, bq_p
 
 
-def _extract_patches_pret(c0t32, c1t32, coords, interpret=False):
-    """Patch extraction from x-major levels; returns (p8, fx, fy) with
-    p8 (BQ, 2, 8, 8) in [x, y] layout (sublanes = x taps, lanes = y taps)
-    and fx/fy (BQ, 2) per-level bilinear fractions."""
-    bq, w, h = c0t32.shape
+def _extract_patches_pret(c0t, c1t, coords, interpret=False):
+    """Patch extraction from x-major levels (any dtype; converted in-kernel);
+    returns (p8, fx, fy) with p8 (BQ, 2, 8, 8) f32 in [x, y] layout
+    (sublanes = x taps, lanes = y taps) and fx/fy (BQ, 2) per-level
+    bilinear fractions."""
+    bq, w, h = c0t.shape
     c0, c1, tr0, tr1, t0, t1, fx, fy, size, bq_p = _prep_targets_pret(
-        c0t32, c1t32, coords
+        c0t, c1t, coords
     )
     n = QB * PATCH
     nblk = bq_p // QB
@@ -784,8 +800,8 @@ def _extract_patches_pret(c0t32, c1t32, coords, interpret=False):
         _patch_extract_kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((QB * size, size), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -795,12 +811,15 @@ def _extract_patches_pret(c0t32, c1t32, coords, interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (2, n, PATCH), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (2, PATCH, n), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((2, bq_p * PATCH, PATCH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, PATCH, bq_p * PATCH), jnp.float32),
         interpret=interpret,
     )(tr0, tr1, t0, t1, c0, c1)
-    p8 = jnp.swapaxes(stacked.reshape(2, bq_p, PATCH, PATCH)[:, :bq], 0, 1)
+    # stacked[l, j_y, q*8+j_x] -> p8[q, l, j_x, j_y]
+    p8 = jnp.transpose(
+        stacked.reshape(2, PATCH, bq_p, PATCH), (2, 0, 3, 1)
+    )[:bq]
     return p8, fx, fy
 
 
@@ -813,13 +832,15 @@ def _corr_lookup_pallas_pret_bwd_impl(c0t, c1t, coords, g, interpret=False):
     level einsums differentiate themselves).
     """
     bq, w, h = c0t.shape
-    c0t32 = c0t.astype(jnp.float32)
-    c1t32 = c1t.astype(jnp.float32)
+    # maps are passed in their own dtype (bf16 under the compute policy) —
+    # the extract kernel converts per-block; materializing f32 copies of the
+    # (BQ, 64, 64) stacks here cost ~1.9 GB padded at b=10 and OOM'd the
+    # reference-scale train step
     # g is x-major (reference channel order c = i*7 + j, i = x) — already
     # the pret kernels' native [x, y] patch layout, no swap
     g = g.astype(jnp.float32).reshape(bq, 2, WIN, WIN)
 
-    p8, fx, fy = _extract_patches_pret(c0t32, c1t32, coords, interpret)
+    p8, fx, fy = _extract_patches_pret(c0t, c1t, coords, interpret)
     fxb = fx[..., None, None]
     fyb = fy[..., None, None]
     # a.e. derivatives of the bilinear blend; p8 is [x, y]: x-differences
@@ -850,23 +871,25 @@ def _corr_lookup_pallas_pret_bwd_impl(c0t, c1t, coords, g, interpret=False):
     )
 
     _, _, tr0, tr1, t0, t1, _, _, size, bq_p = _prep_targets_pret(
-        c0t32, c1t32, coords
+        c0t, c1t, coords
     )
-    d8s = jnp.swapaxes(d8, 0, 1).reshape(2, bq * PATCH, PATCH)
+    # transposed (2, 8, BQ*8) layout — no lane-tail padding (see
+    # _patch_scatter_kernel docstring)
+    d8s = jnp.transpose(d8, (1, 3, 0, 2)).reshape(2, PATCH, bq * PATCH)
     qpad = bq_p - bq
     if qpad:
-        d8s = jnp.pad(d8s, ((0, 0), (0, qpad * PATCH), (0, 0)))
+        d8s = jnp.pad(d8s, ((0, 0), (0, 0), (0, qpad * PATCH)))
     n = QB * PATCH
     nblk = bq_p // QB
     d0p, d1p = pl.pallas_call(
         _patch_scatter_kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, n, PATCH), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, PATCH, n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((QB * size, size), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -876,13 +899,15 @@ def _corr_lookup_pallas_pret_bwd_impl(c0t, c1t, coords, g, interpret=False):
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bq_p * size, size), jnp.float32),
-            jax.ShapeDtypeStruct((bq_p * (size // 2), size // 2), jnp.float32),
+            # cotangents in the maps' own dtype: at b=10 the f32 outputs
+            # (+2x lane padding) alone were 1.5 GB
+            jax.ShapeDtypeStruct((bq_p * size, size), c0t.dtype),
+            jax.ShapeDtypeStruct((bq_p * (size // 2), size // 2), c1t.dtype),
         ),
         interpret=interpret,
     )(tr0, tr1, t0, t1, d8s)
-    d_c0t = d0p.reshape(bq_p, size, size)[:bq].astype(c0t.dtype)
-    d_c1t = d1p.reshape(bq_p, size // 2, size // 2)[:bq].astype(c1t.dtype)
+    d_c0t = d0p.reshape(bq_p, size, size)[:bq]
+    d_c1t = d1p.reshape(bq_p, size // 2, size // 2)[:bq]
     return d_c0t, d_c1t, dc.astype(coords.dtype)
 
 

@@ -127,7 +127,7 @@ def _bilinear_core(
             lin = yc * w + xc
             v = jnp.take_along_axis(flat, lin[:, :, None], axis=1) * wgt
             out = v if out is None else out + v
-        return out
+        return out.astype(img.dtype)
 
     y0p = jnp.clip(y0, -1, h) + 1  # rows padded (1, 2)
     merge = (2 * c <= 128) and (w % 2 == 0)
@@ -152,7 +152,13 @@ def _bilinear_core(
         p00, p10 = patch[:, :, 0, 0], patch[:, :, 0, 1]
         p01, p11 = patch[:, :, 1, 0], patch[:, :, 1, 1]
 
-    return p00 * w00 + p10 * w10 + p01 * w01 + p11 * w11  # (B, N, C)
+    # blend accumulates in f32 (the fraction weights stay f32 — bf16
+    # fractions would quantize smooth warps to 1/256-pixel steps); only the
+    # RESULT drops to the image dtype. Under the bf16 compute policy this
+    # halves every warp output the per-iteration remat has to hold (the f32
+    # saves were ~3 GB of the b=10 train step's OOM).
+    out = p00 * w00 + p10 * w10 + p01 * w01 + p11 * w11  # (B, N, C)
+    return out.astype(img.dtype)
 
 
 def grid_sample(

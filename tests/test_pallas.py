@@ -168,6 +168,27 @@ def test_pallas_pret_fwd_bf16_maps_interpret():
         np.asarray(got[:, :49], np.float32), np.asarray(ref0, np.float32),
         atol=2e-2, rtol=1e-2,
     )
+    # backward on bf16 maps: the in-kernel-convert path (no f32 map
+    # materialization) must match the f32 kernel's cotangents to bf16
+    # quantization precision
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_pret_bwd_impl
+
+    gg = jnp.asarray(rng.randn(bq, 98).astype(np.float32))
+    d0b, d1b, dcb = _corr_lookup_pallas_pret_bwd_impl(
+        c0tb, c1tb, coords, gg, interpret=True
+    )
+    assert d0b.dtype == jnp.bfloat16 and d1b.dtype == jnp.bfloat16
+    d0f, d1f, dcf = _corr_lookup_pallas_pret_bwd_impl(
+        c0tb.astype(jnp.float32), c1tb.astype(jnp.float32), coords, gg,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d0b, np.float32), np.asarray(d0f), atol=5e-2, rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(d1b, np.float32), np.asarray(d1f), atol=5e-2, rtol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(dcb), np.asarray(dcf), atol=1e-5)
 
 
 def test_pallas_pret_bwd_matches_gather_vjp_interpret():
