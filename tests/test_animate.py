@@ -10,6 +10,10 @@ from mrfa_tpu.serving import AnimationServer
 
 from tests.test_train import SIZE, small_cfg
 
+# heavy (torch-reference goldens / e2e compiles): excluded from the fast
+# lane `pytest -m 'not slow'` (see CLAUDE.md); full suite runs them all
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_model():

@@ -13,6 +13,7 @@ LPIPS-vgg (ref reconstruction.py:39), TPSKPDetector
 (ref modules/kp_detector.py:136-158), BGMotionPredictor
 (ref modules/bg_motion_predictor.py:5-24).
 """
+import pytest
 import re
 
 import numpy as np
@@ -30,6 +31,10 @@ from mrfa_tpu.cli.convert_backbones import (
 )
 from mrfa_tpu.utils.torch_convert import convert_state_dict, merge_into
 from mrfa_tpu.weights import load_tree, overlay_vgg19, save_tree
+
+# heavy (torch-reference goldens / e2e compiles): excluded from the fast
+# lane `pytest -m 'not slow'` (see CLAUDE.md); full suite runs them all
+pytestmark = pytest.mark.slow
 
 load_reference()
 

@@ -18,6 +18,10 @@ from tests.reference_loader import load_reference
 from mrfa_tpu.utils.checkpoint import remap_reference_keys
 from mrfa_tpu.utils.torch_convert import convert_state_dict, merge_into
 
+# heavy (torch-reference goldens / e2e compiles): excluded from the fast
+# lane `pytest -m 'not slow'` (see CLAUDE.md); full suite runs them all
+pytestmark = pytest.mark.slow
+
 load_reference()
 
 SIZE = 128

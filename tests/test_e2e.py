@@ -9,6 +9,10 @@ import jax.numpy as jnp
 
 from tests.test_train import SIZE, small_cfg
 
+# heavy (torch-reference goldens / e2e compiles): excluded from the fast
+# lane `pytest -m 'not slow'` (see CLAUDE.md); full suite runs them all
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def synthetic_root(tmp_path_factory):

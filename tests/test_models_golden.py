@@ -13,6 +13,10 @@ import jax.numpy as jnp
 from tests.reference_loader import load_reference
 from mrfa_tpu.utils.torch_convert import convert_state_dict, merge_into
 
+# heavy (torch-reference goldens / e2e compiles): excluded from the fast
+# lane `pytest -m 'not slow'` (see CLAUDE.md); full suite runs them all
+pytestmark = pytest.mark.slow
+
 load_reference()
 
 SIZE = 128  # smallest size compatible with the real 5-block hourglass configs

@@ -225,6 +225,116 @@ def test_pallas_pret_bwd_matches_gather_vjp_interpret():
     )
 
 
+def _padded_levels(corr):
+    """x-PADDED x-major pret inputs (the v3 serving path's map layout)."""
+    from mrfa_tpu.ops.pallas_kernels import PAD
+
+    c0t, c1t = _pret_levels(corr)
+    zp = ((0, 0), (PAD, PAD), (0, 0))
+    return jnp.pad(c0t, zp), jnp.pad(c1t, zp)
+
+
+def test_pallas_padded_fwd_matches_gather_interpret():
+    """The v3 pre-padded-levels kernel (zero per-query copies) matches the
+    gather oracle, including query padding, integer coords and OOB."""
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_padded_impl
+
+    rng = np.random.RandomState(5)
+    bq = 24  # not a multiple of QB=16: exercises query padding
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = np.stack(
+        [rng.uniform(-12, 76, bq), rng.uniform(-12, 76, bq)], -1
+    ).astype(np.float32)
+    coords[:4] = np.round(coords[:4])
+    coords = jnp.asarray(coords)
+    ref = corr_block_lookup(corr, coords)
+    got = _corr_lookup_pallas_padded_impl(*_padded_levels(corr), coords,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_padded_bf16_maps_interpret():
+    """bf16 padded maps stream natively; one whole-block convert feeds the
+    f32 scratch — values must pass through exactly (vs the oracle on the
+    same bf16 values)."""
+    from mrfa_tpu.ops.corr import corr_block_lookup_levels_gather
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_padded_impl
+
+    rng = np.random.RandomState(6)
+    bq = 32
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-8, 72, bq), rng.uniform(-8, 72, bq)], -1
+                 ).astype(np.float32)
+    )
+    c0p, c1p = _padded_levels(corr)
+    got = _corr_lookup_pallas_padded_impl(
+        c0p.astype(jnp.bfloat16), c1p.astype(jnp.bfloat16), coords,
+        interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    c0t, c1t = _pret_levels(corr)
+    ref = corr_block_lookup_levels_gather(
+        jnp.transpose(c0t.astype(jnp.bfloat16).astype(jnp.float32), (0, 2, 1)),
+        jnp.transpose(c1t.astype(jnp.bfloat16).astype(jnp.float32), (0, 2, 1)),
+        coords,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=1e-2,
+    )
+
+
+def test_pallas_padded_vjp_matches_gather_vjp_interpret():
+    """corr_block_lookup_pallas_padded's custom vjp (pret scatter + re-pad)
+    must reproduce the gather formulation's cotangents on the pad interior
+    and emit exact zeros in the pad rows."""
+    from mrfa_tpu.ops.pallas_kernels import PAD, corr_block_lookup_pallas_padded
+
+    rng = np.random.RandomState(7)
+    bq = 16
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-8, 72, bq), rng.uniform(-8, 72, bq)], -1
+                 ).astype(np.float32)
+    )
+    g = jnp.asarray(rng.randn(bq, 98).astype(np.float32))
+
+    _, vjp = jax.vjp(corr_block_lookup, corr, coords)
+    want_dcorr, want_dcoords = vjp(g)
+
+    from mrfa_tpu.ops import pallas_kernels as pk
+
+    c0p, c1p = _padded_levels(corr)
+    # the public custom_vjp backward: slice pads, pret scatter, re-pad
+    d_c0t, d_c1t, got_dcoords = pk._corr_lookup_pallas_pret_bwd_impl(
+        c0p[:, PAD:-PAD, :], c1p[:, PAD:-PAD, :], coords, g, interpret=True
+    )
+    d0 = jnp.transpose(d_c0t, (0, 2, 1))
+    d1 = jnp.transpose(d_c1t, (0, 2, 1))
+    d1_up = jnp.repeat(jnp.repeat(d1, 2, axis=1), 2, axis=2) * 0.25
+    got_dcorr = (d0 + d1_up)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got_dcorr), np.asarray(want_dcorr), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dcoords), np.asarray(want_dcoords), atol=3e-4
+    )
+
+
+def test_pallas_padded_oob_zero_interpret():
+    from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_padded_impl
+
+    corr = jnp.ones((8, 64, 64, 1))
+    coords = jnp.asarray([[-50.0, 5.0]] * 4 + [[5.0, 500.0]] * 4)
+    out = np.asarray(
+        _corr_lookup_pallas_padded_impl(
+            *_padded_levels(corr), coords, interpret=True
+        )
+    )
+    np.testing.assert_allclose(out, 0.0)
+
+
 def test_pallas_pret_oob_zero_interpret():
     from mrfa_tpu.ops.pallas_kernels import _corr_lookup_pallas_pret_impl
 

@@ -15,6 +15,10 @@ from mrfa_tpu.train.optim import (
 )
 from mrfa_tpu.train.trainer import create_train_state, make_train_step
 
+# heavy (torch-reference goldens / e2e compiles): excluded from the fast
+# lane `pytest -m 'not slow'` (see CLAUDE.md); full suite runs them all
+pytestmark = pytest.mark.slow
+
 SIZE = 128
 
 

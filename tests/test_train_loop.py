@@ -14,6 +14,10 @@ import jax.numpy as jnp
 from tests.test_e2e import synthetic_root  # noqa: F401 (fixture)
 from tests.test_train import SIZE, small_cfg
 
+# heavy (torch-reference goldens / e2e compiles): excluded from the fast
+# lane `pytest -m 'not slow'` (see CLAUDE.md); full suite runs them all
+pytestmark = pytest.mark.slow
+
 
 def loop_cfg(prior="fomm"):
     cfg = small_cfg(prior)

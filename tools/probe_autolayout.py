@@ -74,16 +74,18 @@ def main():
     cache = animator._encode_source(animator.variables, src, kp_source, img_down)
     args = (animator.variables, src, img_down, kp_source, kp_d0, frames[0], scale, cache)
 
-    # --- base: the current jitted frame step ---
-    out, _, _ = animator._frame(*args)
+    # --- base: the frame step AOT-compiled with DEFAULT layouts ---
+    # (same AOT call path as the auto variant below, so the A/B isolates the
+    # layout effect from Python jit-dispatch overhead)
+    base_compiled = animator._frame.lower(*args).compile()
+    out, _, _ = base_compiled(*args)
     base0 = np.asarray(out)
     n = 60
+    bargs = list(args)
     t0 = time.perf_counter()
     for i in range(n):
-        out, _, _ = animator._frame(
-            animator.variables, src, img_down, kp_source, kp_d0,
-            frames[i % len(frames)], scale, cache,
-        )
+        bargs[5] = frames[i % len(frames)]
+        out, _, _ = base_compiled(*bargs)
     _ = np.asarray(out)
     base_fps = n / (time.perf_counter() - t0)
     print(f"base:        {base_fps:6.2f} fps", flush=True)
@@ -118,7 +120,11 @@ def main():
             np.asarray(base0, np.float32) - np.asarray(auto0, np.float32)
         ).max()
     )
-    print(f"max_abs_diff vs base: {diff:.3e}", flush=True)
+    tol = 1e-2 if os.environ.get("MRFA_BENCH_DTYPE", "bf16") == "bf16" else 1e-5
+    verdict = "PASS" if diff < tol else "FAIL"
+    print(f"max_abs_diff vs base: {diff:.3e} ({verdict}, tol {tol:g})", flush=True)
+    if diff >= tol:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
