@@ -124,16 +124,27 @@ def main():
     # real chip before any timing, so a silent lowering regression cannot
     # hide behind a plausible fps number.
     from mrfa_tpu.ops.corr import corr_block_lookup
-    from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas_pret
+    from mrfa_tpu.ops.pallas_kernels import (
+        PAD as KPAD,
+        corr_block_lookup_pallas_padded,
+        corr_block_lookup_pallas_pret,
+    )
     from mrfa_tpu.ops.resize import avg_pool
 
     def corr_block_lookup_pallas(corr, coords):
-        # production path: pre-transposed levels (models/raft.py builds them
+        # training path: pre-transposed levels (models/raft.py builds them
         # as einsums); wrapping the transpose/pool here lets jax.vjp cover
         # the pret forward AND backward kernels against the gather oracle
         c0t = jnp.transpose(corr[..., 0], (0, 2, 1))
         c1t = jnp.transpose(avg_pool(corr, 2)[..., 0], (0, 2, 1))
         return corr_block_lookup_pallas_pret(c0t, c1t, coords)
+
+    def corr_block_lookup_padded(corr, coords):
+        # serving/eval production path: pre-PADDED x-major levels (v3 kernel)
+        zp = ((0, 0), (KPAD, KPAD), (0, 0))
+        c0p = jnp.pad(jnp.transpose(corr[..., 0], (0, 2, 1)), zp)
+        c1p = jnp.pad(jnp.transpose(avg_pool(corr, 2)[..., 0], (0, 2, 1)), zp)
+        return corr_block_lookup_pallas_padded(c0p, c1p, coords)
 
     ex_corr = jnp.asarray(rng.randn(512, 64, 64, 1).astype(np.float32))
     ex_coords = jnp.asarray(
@@ -148,16 +159,17 @@ def main():
         dcorr, dcoords = vjp(ex_g)
         return jax.device_get((out, dcorr, dcoords))
 
-    got = _lk(corr_block_lookup_pallas)
     want = _lk(corr_block_lookup)
-    lookup_exactness = float(
-        max(np.abs(g - w).max() for g, w in zip(got, want))
-    )
-    if lookup_exactness > 1e-4:
-        raise AssertionError(
-            f"Pallas lookup diverges from the gather oracle on hardware: "
-            f"max_abs_err={lookup_exactness}"
-        )
+    lookup_exactness = 0.0
+    for fn in (corr_block_lookup_pallas, corr_block_lookup_padded):
+        got = _lk(fn)
+        err = float(max(np.abs(g - w).max() for g, w in zip(got, want)))
+        lookup_exactness = max(lookup_exactness, err)
+        if err > 1e-4:
+            raise AssertionError(
+                f"Pallas lookup ({fn.__name__}) diverges from the gather "
+                f"oracle on hardware: max_abs_err={err}"
+            )
 
     out, _, _ = step(frames[0])  # warmup / compile
     _ = np.asarray(out)  # value fetch = true completion

@@ -218,6 +218,15 @@ class RaftFlow(nn.Module):
         b, hq, wq, dim = fd_sp.shape
         nq = hq * wq
         impl = self._resolve_lookup_impl(b * nq)
+        # eval/serving: emit x-PADDED maps directly (the pad rows of the
+        # x-major source features are zeros, so the einsum output is already
+        # zero-padded on the sublane axis) — the Pallas kernel then needs no
+        # per-query scratch copies at all (ops/pallas_kernels.py v3). The
+        # training path keeps unpadded maps: its backward scatter kernel is
+        # tuned for them and the padded stacks would grow the remat regions'
+        # live intermediates at the reference batch 10.
+        if impl == "pallas" and not train:
+            impl = "pallas_pad"
         # fold the 1/sqrt(dim) volume scale into the (tiny) query features
         # instead of a broadcast-multiply over the (nq, 4096) maps — the
         # round-3 profile showed that multiply costing ~0.5 ms/frame
@@ -230,8 +239,12 @@ class RaftFlow(nn.Module):
         # (BasicMotionEncoder) is bf16 anyway; f32-policy runs (goldens,
         # MRFA_BENCH_DTYPE=f32) are unchanged.
         out_dt = fd.dtype
-        s0 = f_s_layouts["x"] if impl == "pallas" else f_s_layouts["y"]
-        s1 = f_s_layouts["px"] if impl == "pallas" else f_s_layouts["py"]
+        if impl == "pallas_pad":
+            s0, s1 = f_s_layouts["xp"], f_s_layouts["pxp"]
+        elif impl == "pallas":
+            s0, s1 = f_s_layouts["x"], f_s_layouts["px"]
+        else:
+            s0, s1 = f_s_layouts["y"], f_s_layouts["py"]
         c0 = jnp.einsum("bqc,bjc->bqj", fd, s0, preferred_element_type=out_dt)
         c1 = jnp.einsum("bqc,bjc->bqj", fd, s1, preferred_element_type=out_dt)
         from mrfa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, maybe_constrain
@@ -240,12 +253,19 @@ class RaftFlow(nn.Module):
         # no collective; downstream lookups touch only local query rows)
         c0 = maybe_constrain(c0, DATA_AXIS, MODEL_AXIS, None)
         c1 = maybe_constrain(c1, DATA_AXIS, MODEL_AXIS, None)
-        map0 = c0.reshape(b * nq, self.h, self.w)
-        map1 = c1.reshape(b * nq, self.h // 2, self.w // 2)
+        from mrfa_tpu.ops.pallas_kernels import PAD as _KPAD
+
+        p = 2 * _KPAD if impl == "pallas_pad" else 0
+        map0 = c0.reshape(b * nq, self.h + p, self.w)
+        map1 = c1.reshape(b * nq, self.h // 2 + p, self.w // 2)
         return impl, map0, map1
 
     def _lookup_levels(self, impl, map0, map1, coords):
         """Lookup over precomputed levels (all impls exact, tests/test_corr)."""
+        if impl == "pallas_pad":
+            from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas_padded
+
+            return corr_block_lookup_pallas_padded(map0, map1, coords)
         if impl == "pallas":
             from mrfa_tpu.ops.pallas_kernels import corr_block_lookup_pallas_pret
 
@@ -475,13 +495,24 @@ class RaftFlow(nn.Module):
         # layouts are dead-code-eliminated at trace time. The (4096, 4096)
         # volume of the reference is never materialized in y-major + pooled
         # copies: every level is a direct einsum (see _build_levels).
+        from mrfa_tpu.ops.pallas_kernels import PAD as _KPAD
+
         f_s_sp = f_s.reshape(b, h, w, self.dim)
         f_s_p = avg_pool(f_s_sp, 2)
+        f_s_x = jnp.swapaxes(f_s_sp, 1, 2)  # (b, w, h, dim) x-major
+        f_s_px = jnp.swapaxes(f_s_p, 1, 2)
+        zp = ((0, 0), (_KPAD, _KPAD), (0, 0), (0, 0))
         f_s_layouts = {
             "y": f_s,
-            "x": jnp.swapaxes(f_s_sp, 1, 2).reshape(b, h * w, self.dim),
+            "x": f_s_x.reshape(b, h * w, self.dim),
             "py": f_s_p.reshape(b, h * w // 4, self.dim),
-            "px": jnp.swapaxes(f_s_p, 1, 2).reshape(b, h * w // 4, self.dim),
+            "px": f_s_px.reshape(b, h * w // 4, self.dim),
+            # x-PADDED layouts: make the level einsums emit maps that are
+            # already zero-padded on the sublane axis (v3 padded kernel)
+            "xp": jnp.pad(f_s_x, zp).reshape(b, (w + 2 * _KPAD) * h, self.dim),
+            "pxp": jnp.pad(f_s_px, zp).reshape(
+                b, (w // 2 + 2 * _KPAD) * (h // 2), self.dim
+            ),
         }
         # training under remat builds the levels INSIDE each checkpointed
         # iteration (recomputed in the backward, not stored — see

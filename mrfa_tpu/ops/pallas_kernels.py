@@ -733,6 +733,158 @@ corr_block_lookup_pallas.defvjp(_pl_fwd, _pl_bwd)
 
 
 # ---------------------------------------------------------------------------
+# v3 "padded": lookup over PRE-PADDED x-major levels — zero per-query copies.
+#
+# The v1 scratch kernel's per-query work is dominated by copying each query's
+# full map into a padded VMEM scratch (the copy exists only because (a) the
+# dynamic band slice needs real rows at out-of-range x and (b) Mosaic cannot
+# dynamically sublane-slice 2-row-packed bf16). Both reasons disappear when
+# the maps arrive PRE-PADDED on the x (sublane) axis:
+#   - the refinement loop's level einsum emits padded maps for free by
+#     zero-padding the x-major source features once per frame (pad rows of
+#     f_s are zeros -> pad rows of every query's map are exact zeros; see
+#     models/raft.py::_build_levels),
+#   - the kernel converts the WHOLE (QB*(w+2*PAD), h) block to an f32
+#     scratch in ONE vectorized op (amortizing what v1 paid per query), and
+#   - each query is then just a dynamic band slice at rows
+#     q*(w+2*PAD) + x0 + PAD - r plus the v1 one-hot y-selection matmul.
+# Lane-axis (y) out-of-bounds still folds into the one-hot selection.
+# ---------------------------------------------------------------------------
+
+
+def _corr_lookup_padded_kernel(coords_ref, c0p_ref, c1p_ref, out_ref, s0, s1):
+    # one whole-block bf16->f32 convert per level (vectorized; replaces v1's
+    # per-query scratch copies, ~70% of its kernel time)
+    s0[:, :] = c0p_ref[:, :].astype(jnp.float32)
+    s1[:, :] = c1p_ref[:, :].astype(jnp.float32)
+    h0 = c0p_ref.shape[1]
+    h1 = c1p_ref.shape[1]
+    w0p = c0p_ref.shape[0] // QB
+    w1p = c1p_ref.shape[0] // QB
+    for q in range(QB):  # static unroll over the query block
+        cx = coords_ref[q, 0]
+        cy = coords_ref[q, 1]
+        out_ref[q, 0] = _level_sample_padded(s0, q * w0p, cx, cy, h0)
+        out_ref[q, 1] = _level_sample_padded(s1, q * w1p, cx * 0.5, cy * 0.5, h1)
+
+
+def _level_sample_padded(stack, row0, cx, cy, size):
+    """7x7 window from the block-wide f32 scratch of x-PADDED x-major maps.
+
+    stack rows [row0, row0 + size + 2*PAD) hold this query's map: rows
+    row0 + PAD + x for real x in [0, size), zeros in the PAD margins. The
+    lane (y) axis is unpadded; OOB y taps fold into the one-hot selection.
+    Returns (7, 7) with [i, j] = bilinear sample at (x + i - r, y + j - r).
+    """
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+    x0c = jnp.clip(x0, -(RADIUS + 2), size + RADIUS).astype(jnp.int32)
+    y0c = jnp.clip(y0, -(RADIUS + 2), size + RADIUS).astype(jnp.int32)
+    sx = row0 + x0c + PAD - RADIUS  # stays inside this query's padded rows
+    sy = y0c - RADIUS  # raw y target: OOB columns select nothing
+    band = stack[pl.ds(sx, PATCH), :]  # (8, size): rows = x taps
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (size, PATCH), 0)
+    sel_ids = sy + jax.lax.broadcasted_iota(jnp.int32, (size, PATCH), 1)
+    onehot = (col_ids == sel_ids).astype(band.dtype)  # (size, 8)
+    p8t = jax.lax.dot_general(
+        band, onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # p8t[i, j] = map[y0c-3+j, x0c-3+i]
+    return (
+        (1.0 - fx) * (1.0 - fy) * p8t[:WIN, :WIN]
+        + fx * (1.0 - fy) * p8t[1:, :WIN]
+        + (1.0 - fx) * fy * p8t[:WIN, 1:]
+        + fx * fy * p8t[1:, 1:]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _corr_lookup_pallas_padded_impl(c0p, c1p, coords, interpret=False):
+    """Lookup over PRE-PADDED x-major levels (serving/eval production path).
+
+    c0p: (BQ, w + 2*PAD, h) x-major level-0 maps with zero rows in the PAD
+    margins; c1p: (BQ, w/2 + 2*PAD, h/2) level-1 maps, same padding. The
+    refinement loop emits these directly as einsums against x-PADDED source
+    features (models/raft.py), so the padding costs nothing per frame.
+    """
+    bq, w0p, h = c0p.shape
+    w = w0p - 2 * PAD
+    assert h == w, "correlation maps must be square (RaftFlow invariant)"
+    assert c1p.shape[1] == w // 2 + 2 * PAD and c1p.shape[2] == h // 2
+    out_dtype = c0p.dtype
+    bq_p, qpad = _pad_queries(bq)
+    if qpad:
+        c0p = jnp.pad(c0p, ((0, qpad), (0, 0), (0, 0)))
+        c1p = jnp.pad(c1p, ((0, qpad), (0, 0), (0, 0)))
+        coords = jnp.pad(coords, ((0, qpad), (0, 0)))
+    w1p = w // 2 + 2 * PAD
+    c0p2 = c0p.reshape(bq_p * w0p, h)
+    c1p2 = c1p.reshape(bq_p * w1p, h // 2)
+    grid = (bq_p // QB,)
+    out = pl.pallas_call(
+        _corr_lookup_padded_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((QB, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB * w0p, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (QB * w1p, h // 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (QB, 2, WIN, WIN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bq_p, 2, WIN, WIN), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((QB * w0p, h), jnp.float32),
+            pltpu.VMEM((QB * w1p, h // 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(coords, c0p2, c1p2)
+    return out[:bq].reshape(bq, 2 * WIN * WIN).astype(out_dtype)
+
+
+@jax.custom_vjp
+def corr_block_lookup_pallas_padded(
+    c0p: jnp.ndarray, c1p: jnp.ndarray, coords: jnp.ndarray
+) -> jnp.ndarray:
+    """Fused Pallas lookup over pre-padded x-major levels (2 levels, r=3).
+
+    Args:
+      c0p: (BQ, w + 2*PAD, h) x-major level-0 maps, zero rows in the pads.
+      c1p: (BQ, w/2 + 2*PAD, h/2) x-major level-1 maps, same padding.
+      coords: (BQ, 2) query centers in level-0 pixel coords (xy).
+
+    Returns:
+      (BQ, 98), identical to corr_block_lookup on the unpadded maps.
+
+    The backward (rare: this is the eval/serving path) slices the pads off
+    and reuses the pret matmul-form scatter, re-padding the cotangents with
+    zero rows — exact, since the pad rows are zero-constants upstream.
+    """
+    return _corr_lookup_pallas_padded_impl(c0p, c1p, coords)
+
+
+def _padded_fwd(c0p, c1p, coords):
+    return _corr_lookup_pallas_padded_impl(c0p, c1p, coords), (c0p, c1p, coords)
+
+
+def _padded_bwd(res, g):
+    c0p, c1p, coords = res
+    c0t = c0p[:, PAD:-PAD, :]
+    c1t = c1p[:, PAD:-PAD, :]
+    d_c0t, d_c1t, dc = _corr_lookup_pallas_pret_bwd_impl(c0t, c1t, coords, g)
+    zpad = ((0, 0), (PAD, PAD), (0, 0))
+    return jnp.pad(d_c0t, zpad), jnp.pad(d_c1t, zpad), dc
+
+
+corr_block_lookup_pallas_padded.defvjp(_padded_fwd, _padded_bwd)
+
+
+# ---------------------------------------------------------------------------
 # pret: lookup over PRE-TRANSPOSED levels — the production refinement path.
 #
 # The refinement loop builds each pyramid level directly as an einsum of

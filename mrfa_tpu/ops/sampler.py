@@ -130,24 +130,33 @@ def _bilinear_core(
         return out.astype(img.dtype)
 
     y0p = jnp.clip(y0, -1, h) + 1  # rows padded (1, 2)
-    merge = (2 * c <= 128) and (w % 2 == 0)
-    if merge:
-        # pad x by (2, 4) so both the start chunk and chunk+1 stay in
-        # bounds after the column-pair merge
-        imgp = jnp.pad(img, ((0, 0), (1, 2), (2, 4), (0, 0)))
-        imgm = imgp.reshape(b, h + 3, (w + 6) // 2, 2 * c)
-        x0p = jnp.clip(x0, -2, w + 1) + 2
-        cs = x0p // 2
-        patch = _patch_gather(imgm, y0p, cs, 2, 2)  # (B, N, 2, 2, 2C)
-        quad = patch.reshape(b, patch.shape[1], 2, 4, c)  # 4 x-pixels
-        par = (x0p - 2 * cs)[..., None, None]  # 0 or 1
-        tap0 = jnp.where(par == 0, quad[:, :, :, 0], quad[:, :, :, 1])
-        tap1 = jnp.where(par == 0, quad[:, :, :, 1], quad[:, :, :, 2])
-        p00, p01 = tap0[:, :, 0], tap0[:, :, 1]  # x0 at rows y0, y1
-        p10, p11 = tap1[:, :, 0], tap1[:, :, 1]  # x0+1 at rows y0, y1
+    x0p = jnp.clip(x0, -1, w) + 1
+    if 4 * c <= 256:
+        # ONE flat row gather per sample from a pre-expanded patch image:
+        # img4[y, x] holds the full 2x2xC patch at (y-1, x-1) contiguously
+        # (4 shifted copies concatenated channel-wise). TPU gathers cost a
+        # fixed ~13 ns per DESCRIPTOR (tools/probe_warp_variants.py; rate is
+        # N-proportional and locality-independent), so one 4C-row descriptor
+        # beats the 2-row (2,2,C) slice gather ~2x — and the single linear
+        # start index avoids the (B,N,2) start-tensor relayout copies the
+        # old path paid per warp. The expansion is a cheap shift-concat
+        # fusion; for per-clip-constant sources XLA CSEs it across warps.
+        imgp = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
+        img4 = jnp.concatenate(
+            [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
+             imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1,
+        )  # (B, h+2, w+2, 4C)
+        flat = img4.reshape(b, (h + 2) * (w + 2), 4 * c)
+        lin = y0p * (w + 2) + x0p
+        v = jnp.take_along_axis(
+            flat, lin[:, :, None], axis=1, mode="promise_in_bounds"
+        )  # (B, N, 4C)
+        p00 = v[..., :c]
+        p10 = v[..., c:2 * c]
+        p01 = v[..., 2 * c:3 * c]
+        p11 = v[..., 3 * c:]
     else:
         imgp = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
-        x0p = jnp.clip(x0, -1, w) + 1
         patch = _patch_gather(imgp, y0p, x0p, 2, 2)  # (B, N, 2, 2, C)
         p00, p10 = patch[:, :, 0, 0], patch[:, :, 0, 1]
         p01, p11 = patch[:, :, 1, 0], patch[:, :, 1, 1]

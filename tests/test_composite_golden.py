@@ -59,7 +59,7 @@ MTIA_CFG = {
 
 
 def composite_cfg(prior="fomm"):
-    return {
+    cfg = {
         "mtia_kp_detector": MTIA_CFG,
         "train_params": {
             "prior_model": prior,
@@ -104,6 +104,25 @@ def composite_cfg(prior="fomm"):
             },
         },
     }
+    if prior == "tpsm":
+        cfg["tpsm_kp_detector"] = {"num_tps": 10}
+        cfg["tpsm_dense_motion"] = {
+            "block_expansion": 64, "max_features": 1024, "num_blocks": 5,
+            "scale_factor": 0.25, "num_tps": 10, "num_channels": 3,
+        }
+        # dropout OFF at epoch 0 (dropout_epoch=0): the reference samples
+        # torch dropout masks that cannot be replayed cross-framework; the
+        # dropout-ON schedule itself is covered by
+        # tests/test_train_loop.py::test_tpsm_dropout_train_step
+        cfg["train_params"].update(
+            dropout_epoch=0, dropout_maxp=0.3, dropout_startp=0.1,
+            dropout_inc_epoch=10,
+        )
+        # TPSKPDetector emits no jacobian: the reference would crash on the
+        # jacobian term (model.py:240-241 indexes kp['jacobian']) — weight 0
+        # matches how TPSM is actually trained (config has no jacobian loss)
+        cfg["train_params"]["loss_weights"]["equivariance_jacobian"] = 0
+    return cfg
 
 
 def _fixed_transform(seed=42):
@@ -117,7 +136,7 @@ def _fixed_transform(seed=42):
     return theta, control_params
 
 
-@pytest.fixture(scope="module", params=["fomm", "mtia"])
+@pytest.fixture(scope="module", params=["fomm", "mtia", "tpsm"])
 def golden(request, tmp_path_factory):
     """Run the reference composite forward once (torch CPU, injected
     transform), returning its outputs + pre/post state dicts. Parametrized
@@ -239,8 +258,12 @@ class TestCompositeTrainForward:
             )
 
         # ---- generated image + keypoints ----
+        # TPSM runs a batched TPS solve whose f32 result is solver-order
+        # sensitive (see test_tps.py); its image tolerance is looser
+        tpsm = cfg["train_params"]["prior_model"] == "tpsm"
         np.testing.assert_allclose(
-            to_nchw(np.asarray(gen)), golden["gen"], atol=2e-3
+            to_nchw(np.asarray(gen)), golden["gen"],
+            atol=5e-3 if tpsm else 2e-3,
         )
         np.testing.assert_allclose(np.asarray(kp_s), golden["kp_s"], atol=1e-4)
         np.testing.assert_allclose(np.asarray(kp_d), golden["kp_d"], atol=1e-4)

@@ -25,6 +25,7 @@ def _raft(size):
     )
 
 
+@pytest.mark.slow  # ~145 s: full tiny-model fwd in both policies
 def test_bf16_policy_output_close_to_f32():
     rng = np.random.RandomState(0)
     kp_s = jnp.asarray(np.tanh(rng.randn(1, 10, 2)).astype(np.float32))

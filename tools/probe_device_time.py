@@ -44,11 +44,14 @@ def main():
         float(np.asarray(jnp.sum(out)))
         return (time.perf_counter() - t0) / reps
 
+    import os as _os
+    K = int(_os.environ.get("MRFA_PROBE_K", "21"))
+
     def report(name, make_scan):
         t1 = wall(make_scan(1), corr, coords)
-        tk = wall(make_scan(21), corr, coords)
-        print(f"{name:18s}: {(tk - t1) / 20 * 1e3:8.3f} ms/op device "
-              f"(T1={t1*1e3:.2f} ms incl dispatch)", flush=True)
+        tk = wall(make_scan(K), corr, coords)
+        print(f"{name:18s}: {(tk - t1) / (K - 1) * 1e3:8.3f} ms/op device "
+              f"(T1={t1*1e3:.2f} ms incl dispatch, K={K})", flush=True)
 
     def scan_fwd(fn):
         def make(k):
@@ -90,7 +93,39 @@ def main():
             return jnp.sum(c)
         return run
 
+    # v3 padded-levels inputs (pre-padded x-major, bf16 + f32 variants)
+    c0t = jnp.transpose(corr[..., 0], (0, 2, 1))
+    c1t = jnp.transpose(avg_pool(corr, 2)[..., 0], (0, 2, 1))
+    zp = ((0, 0), (pk.PAD, pk.PAD), (0, 0))
+    c0p = jnp.pad(c0t, zp)
+    c1p = jnp.pad(c1t, zp)
+    c0pb = c0p.astype(jnp.bfloat16)
+    c1pb = c1p.astype(jnp.bfloat16)
+
+    def scan_fwd_padded(fn, a0, a1):
+        def make(k):
+            @jax.jit
+            def run(corr, coords):
+                def body(c, _):
+                    out = fn(a0, a1, c)
+                    c = c + 1e-30 * out[:, :2].astype(jnp.float32)
+                    return c, ()
+                c, _ = jax.lax.scan(body, coords, None, length=k)
+                return jnp.sum(c)
+            return run
+        return make
+
     report("avg_pool", lambda k: scan_pool(k))
+    report("fwd pallas_v3 f32", scan_fwd_padded(
+        lambda a, b, x: pk._corr_lookup_pallas_padded_impl(a, b, x), c0p, c1p
+    ))
+    report("fwd pallas_v3 bf16", scan_fwd_padded(
+        lambda a, b, x: pk._corr_lookup_pallas_padded_impl(a, b, x), c0pb, c1pb
+    ))
+    report("fwd pallas_pret bf16", scan_fwd_padded(
+        lambda a, b, x: pk._corr_lookup_pallas_pret_impl(a, b, x),
+        c0t.astype(jnp.bfloat16), c1t.astype(jnp.bfloat16),
+    ))
     report("fwd pallas_v2", scan_fwd(
         lambda c, x: pk._corr_lookup_pallas_v2_impl(c, x)
     ))
