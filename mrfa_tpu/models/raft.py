@@ -152,9 +152,14 @@ class RaftFlow(nn.Module):
                 (1, self.num_kp, self.h, self.w),
             )
             # with remat=True whole refinement iterations are checkpointed
-            # (see _refine_iter below), which subsumes per-submodule remat
-            self.corr_enc = BasicMotionEncoder(name="corr_enc")
-            self.refine = RefineFlow(name="refine")
+            # (_refine_iter) AND the two conv stacks inside each iteration
+            # are nested remat regions: the iteration's backward replay then
+            # materializes one subregion's activations at a time instead of
+            # the whole iteration's (~0.5 GB less peak at the reference
+            # batch 10, which OOM'd by 84 MB without this)
+            sub_cls = (lambda c: nn.remat(c)) if self.remat else (lambda c: c)
+            self.corr_enc = sub_cls(BasicMotionEncoder)(name="corr_enc")
+            self.refine = sub_cls(RefineFlow)(name="refine")
             self.to_context = [
                 conv2d(192, 1, name=f"to_context_{i}")
                 for i in range(self.total_iter)
@@ -274,6 +279,10 @@ class RaftFlow(nn.Module):
             return corr_block_lookup_levels(map0, map1, coords)
         return corr_block_lookup_levels_gather(map0, map1, coords)
 
+    def _warp_context(self, i: int, feature_i, coords):
+        """Warp the generator feature and project to context channels."""
+        return jax.nn.relu(self.to_context[i](sample_pixel(feature_i, coords)))
+
     def _refine_iter(
         self,
         i: int,
@@ -346,8 +355,15 @@ class RaftFlow(nn.Module):
             corr = resize_bilinear(corr, res, align_corners=True)
 
         m_f = self.corr_enc(flow, corr)
-        warp_f = sample_pixel(feature_i, flow + id_grid)
-        warp_f = jax.nn.relu(self.to_context[i](warp_f))
+        # context warp as its own nested remat region (training): the warp's
+        # expanded patch image + gathered taps are the iteration's largest
+        # temps at full res and need not coexist with the conv stacks' replay
+        warp_ctx = (
+            nn.remat(type(self)._warp_context, static_argnums=(1,))
+            if self.remat
+            else type(self)._warp_context
+        )
+        warp_f = warp_ctx(self, i, feature_i, flow + id_grid)
 
         d_all, _ = self.refine(m_f, warp_f)
         d_flow = d_all[..., 0:2]

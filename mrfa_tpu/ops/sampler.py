@@ -16,8 +16,67 @@ All tensors are NHWC. Grids carry xy (x = width/column) in the last axis.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Custom warp differentiation (no XLA scatter).
+#
+# The forward gathers are descriptor-rate-optimal, but their AUTODIFF
+# backward is lax.scatter-add, which XLA:TPU lowers to a serialized
+# per-sample while loop (~4 us/sample — the round-4 train profile showed
+# these loops eating ~2 s of a 3 s b=10 train step). `_bilinear_core`
+# therefore carries a custom_vjp:
+#
+#   d_img[b,y,x,c] = sum_n WY[b,n,y] * WX[b,n,x] * g[b,n,c]
+#
+# where WY/WX are the bilinearly-weighted one-hot PAIRS per axis (the
+# separable factorization of the 2x2 splat, validity masks folded in),
+# evaluated as (U = WX outer g, then WY^T @ U) on the MXU, n-chunked so the
+# (B, chunk, W, C) intermediate stays bounded. d_coords is analytic from
+# regathered taps (the taps are constants a.e.; only the fraction weights
+# carry coordinate derivatives — exactly what autodiff computes).
+# ---------------------------------------------------------------------------
+
+_SPLAT_CHUNK_BYTES = 128 * 1024 * 1024  # bound on the (B, cs, W, C) temp
+
+
+def _splat_mats(g, my, mx, h, w):
+    """sum_n my[b,n,y] * mx[b,n,x] * g[b,n,c] -> (B, h, w, C) f32.
+
+    my/mx are (B, N, h|w) weighted one-hot-pair matrices (at most two
+    nonzeros per row). f32 inputs ride the MXU as bf16 triples by default —
+    force the exact path there; bf16 inputs are exact under the default.
+    """
+    b, n, c = g.shape
+    prec = jax.lax.Precision.HIGHEST if g.dtype == jnp.float32 else None
+    itemsize = jnp.dtype(g.dtype).itemsize
+    cs = max(256, _SPLAT_CHUNK_BYTES // max(1, b * w * c * itemsize))
+    d = jnp.zeros((b, h, w * c), jnp.float32)
+    for s0 in range(0, n, cs):
+        sl = slice(s0, min(n, s0 + cs))
+        u = mx[:, sl, :, None] * g[:, sl, None, :]  # (B, cs, W, C)
+        d = d + jnp.einsum(
+            "bnh,bnm->bhm", my[:, sl], u.reshape(b, u.shape[1], w * c),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    return d.reshape(b, h, w, c)
+
+
+def _pair_mat(i0, w0, w1, size, dtype):
+    """Weighted one-hot pair rows: w0 at index i0, w1 at i0 + 1, (B, N, size).
+
+    Out-of-range indices are clipped to sentinels that match no column, so
+    OOB taps drop — their weights are zero under every padding mode anyway.
+    """
+    i0c = jnp.clip(i0, -1, size)
+    ar = jnp.arange(size, dtype=i0.dtype)
+    oh0 = (i0c[..., None] == ar).astype(dtype)
+    oh1 = (jnp.clip(i0c + 1, -1, size)[..., None] == ar).astype(dtype)
+    return oh0 * w0[..., None].astype(dtype) + oh1 * w1[..., None].astype(dtype)
 
 
 def _unnormalize(g: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
@@ -66,6 +125,80 @@ def _patch_gather(imgp: jnp.ndarray, y0p, x0p, sy: int, sx: int):
     return jax.vmap(g1)(imgp, starts)
 
 
+def _tap_weights(ix, iy, h, w, zero_oob):
+    """Corner indices, fraction weights, and validity-masked blend weights."""
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    wx = ix - x0f
+    wy = iy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    if zero_oob:
+        vx0 = ((x0 >= 0) & (x0 < w)).astype(wx.dtype)
+        vx1 = ((x0 + 1 >= 0) & (x0 + 1 < w)).astype(wx.dtype)
+        vy0 = ((y0 >= 0) & (y0 < h)).astype(wx.dtype)
+        vy1 = ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(wx.dtype)
+    else:
+        one = jnp.ones_like(wx)
+        vx0 = vx1 = vy0 = vy1 = one
+    return x0, y0, wx, wy, vx0, vx1, vy0, vy1
+
+
+def _gather_taps(img, x0, y0):
+    """The four corner taps at integer (x0, y0): p00, p10, p01, p11, each
+    (B, N, C) — p10 is the x+1 tap. Out-of-range taps read zero (from the
+    padded copy) except on the wide-channel path, which clamps (its callers
+    zero OOB taps via the weight masks).
+
+    Branching by channel width (tools/probe_warp_variants.py):
+      - 4C <= 256: ONE flat row gather per sample from a pre-expanded patch
+        image img4[y, x] = the full 2x2xC patch at (y-1, x-1) contiguously
+        (4 shifted copies concatenated channel-wise). TPU gathers cost a
+        fixed ~13 ns per DESCRIPTOR, so one 4C-row descriptor beats the
+        2-row (2,2,C) slice gather ~2x — and the single linear start index
+        avoids the (B,N,2) start-tensor relayout copies. The expansion is a
+        cheap shift-concat fusion; for per-clip-constant sources XLA CSEs
+        it across warps.
+      - C <= 128: one (2, 2, C) slice-gather descriptor per sample.
+      - C > 128 (deep pyramid levels, small N): the padded-copy overhead
+        exceeds the descriptor savings — four row gathers, clamped indices.
+    """
+    b, h, w, c = img.shape
+    if c > 128:
+        flat = img.reshape(b, h * w, c)
+        taps = []
+        for xi, yi in (
+            (x0, y0), (x0 + 1, y0), (x0, y0 + 1), (x0 + 1, y0 + 1),
+        ):
+            lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            taps.append(
+                jnp.take_along_axis(
+                    flat, lin[:, :, None], axis=1, mode="promise_in_bounds"
+                )
+            )
+        return taps
+
+    y0p = jnp.clip(y0, -1, h) + 1  # rows padded (1, 2)
+    x0p = jnp.clip(x0, -1, w) + 1
+    imgp = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    if 4 * c <= 256:
+        img4 = jnp.concatenate(
+            [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
+             imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1,
+        )  # (B, h+2, w+2, 4C)
+        flat = img4.reshape(b, (h + 2) * (w + 2), 4 * c)
+        lin = y0p * (w + 2) + x0p
+        v = jnp.take_along_axis(
+            flat, lin[:, :, None], axis=1, mode="promise_in_bounds"
+        )  # (B, N, 4C)
+        return [v[..., :c], v[..., c:2 * c], v[..., 2 * c:3 * c], v[..., 3 * c:]]
+
+    patch = _patch_gather(imgp, y0p, x0p, 2, 2)  # (B, N, 2, 2, C)
+    return [patch[:, :, 0, 0], patch[:, :, 0, 1],
+            patch[:, :, 1, 0], patch[:, :, 1, 1]]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _bilinear_core(
     img: jnp.ndarray,
     ix: jnp.ndarray,
@@ -79,87 +212,18 @@ def _bilinear_core(
     assumed pre-folded for border/reflection modes, where out-of-range taps
     only ever occur with exactly-zero weight).
 
-    Implementation: a single 2x2xC patch gather per sample from a
-    zero-padded copy, with the four taps blended from the patch. For
-    small channel counts (c*2 <= 128, even W) pairs of x-columns are first
-    merged into the channel axis (a free view) so the gather rows fill the
-    128-lane registers; the true taps are then parity-selected from the
-    4-pixel window.
+    Forward: descriptor-optimal tap gathers (`_gather_taps`) + f32 blend.
+    Backward (custom): matmul-form weighted splat for d_img and analytic
+    d_coords — see the module-level note; autodiff's scatter-add lowers to
+    a serialized per-sample while loop on TPU.
     """
     b, h, w, c = img.shape
-    x0f = jnp.floor(ix)
-    y0f = jnp.floor(iy)
-    wx = ix - x0f
-    wy = iy - y0f
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-
-    w00 = (1.0 - wx) * (1.0 - wy)
-    w10 = wx * (1.0 - wy)
-    w01 = (1.0 - wx) * wy
-    w11 = wx * wy
-    if zero_oob:
-        vx0 = ((x0 >= 0) & (x0 < w)).astype(wx.dtype)
-        vx1 = ((x0 + 1 >= 0) & (x0 + 1 < w)).astype(wx.dtype)
-        vy0 = ((y0 >= 0) & (y0 < h)).astype(wx.dtype)
-        vy1 = ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(wx.dtype)
-        w00 = w00 * vx0 * vy0
-        w10 = w10 * vx1 * vy0
-        w01 = w01 * vx0 * vy1
-        w11 = w11 * vx1 * vy1
-    w00 = w00[..., None]
-    w10 = w10[..., None]
-    w01 = w01[..., None]
-    w11 = w11[..., None]
-
-    if c > 128:
-        # wide-channel maps (deep pyramid levels, small N): the padded-copy
-        # overhead of the patch path exceeds the descriptor savings — four
-        # row gathers from the unpadded image win there
-        out = None
-        for xi, yi, wgt in (
-            (x0, y0, w00), (x0 + 1, y0, w10),
-            (x0, y0 + 1, w01), (x0 + 1, y0 + 1, w11),
-        ):
-            xc = jnp.clip(xi, 0, w - 1)
-            yc = jnp.clip(yi, 0, h - 1)
-            flat = img.reshape(b, h * w, c)
-            lin = yc * w + xc
-            v = jnp.take_along_axis(flat, lin[:, :, None], axis=1) * wgt
-            out = v if out is None else out + v
-        return out.astype(img.dtype)
-
-    y0p = jnp.clip(y0, -1, h) + 1  # rows padded (1, 2)
-    x0p = jnp.clip(x0, -1, w) + 1
-    if 4 * c <= 256:
-        # ONE flat row gather per sample from a pre-expanded patch image:
-        # img4[y, x] holds the full 2x2xC patch at (y-1, x-1) contiguously
-        # (4 shifted copies concatenated channel-wise). TPU gathers cost a
-        # fixed ~13 ns per DESCRIPTOR (tools/probe_warp_variants.py; rate is
-        # N-proportional and locality-independent), so one 4C-row descriptor
-        # beats the 2-row (2,2,C) slice gather ~2x — and the single linear
-        # start index avoids the (B,N,2) start-tensor relayout copies the
-        # old path paid per warp. The expansion is a cheap shift-concat
-        # fusion; for per-clip-constant sources XLA CSEs it across warps.
-        imgp = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
-        img4 = jnp.concatenate(
-            [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
-             imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1,
-        )  # (B, h+2, w+2, 4C)
-        flat = img4.reshape(b, (h + 2) * (w + 2), 4 * c)
-        lin = y0p * (w + 2) + x0p
-        v = jnp.take_along_axis(
-            flat, lin[:, :, None], axis=1, mode="promise_in_bounds"
-        )  # (B, N, 4C)
-        p00 = v[..., :c]
-        p10 = v[..., c:2 * c]
-        p01 = v[..., 2 * c:3 * c]
-        p11 = v[..., 3 * c:]
-    else:
-        imgp = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
-        patch = _patch_gather(imgp, y0p, x0p, 2, 2)  # (B, N, 2, 2, C)
-        p00, p10 = patch[:, :, 0, 0], patch[:, :, 0, 1]
-        p01, p11 = patch[:, :, 1, 0], patch[:, :, 1, 1]
+    x0, y0, wx, wy, vx0, vx1, vy0, vy1 = _tap_weights(ix, iy, h, w, zero_oob)
+    w00 = (((1.0 - wx) * (1.0 - wy)) * (vx0 * vy0))[..., None]
+    w10 = ((wx * (1.0 - wy)) * (vx1 * vy0))[..., None]
+    w01 = (((1.0 - wx) * wy) * (vx0 * vy1))[..., None]
+    w11 = ((wx * wy) * (vx1 * vy1))[..., None]
+    p00, p10, p01, p11 = _gather_taps(img, x0, y0)
 
     # blend accumulates in f32 (the fraction weights stay f32 — bf16
     # fractions would quantize smooth warps to 1/256-pixel steps); only the
@@ -168,6 +232,37 @@ def _bilinear_core(
     # saves were ~3 GB of the b=10 train step's OOM).
     out = p00 * w00 + p10 * w10 + p01 * w01 + p11 * w11  # (B, N, C)
     return out.astype(img.dtype)
+
+
+def _bilinear_core_fwd(img, ix, iy, zero_oob):
+    return _bilinear_core(img, ix, iy, zero_oob), (img, ix, iy)
+
+
+def _bilinear_core_bwd(zero_oob, res, g):
+    img, ix, iy = res
+    b, h, w, c = img.shape
+    x0, y0, wx, wy, vx0, vx1, vy0, vy1 = _tap_weights(ix, iy, h, w, zero_oob)
+
+    # d_img: separable weighted one-hot splat (MXU matmuls, no scatter)
+    my = _pair_mat(y0, (1.0 - wy) * vy0, wy * vy1, h, g.dtype)
+    mx = _pair_mat(x0, (1.0 - wx) * vx0, wx * vx1, w, g.dtype)
+    d_img = _splat_mats(g, my, mx, h, w).astype(img.dtype)
+
+    # d_coords: taps are constants a.e. — only the fraction weights carry
+    # derivatives. Regather (descriptor-cheap) instead of saving residuals.
+    p00, p10, p01, p11 = _gather_taps(img, x0, y0)
+    g32 = g.astype(jnp.float32)
+    dot = lambda p: jnp.sum(g32 * p.astype(jnp.float32), axis=-1)  # noqa: E731
+    t00 = dot(p00) * vx0 * vy0
+    t10 = dot(p10) * vx1 * vy0
+    t01 = dot(p01) * vx0 * vy1
+    t11 = dot(p11) * vx1 * vy1
+    d_ix = ((1.0 - wy) * (t10 - t00) + wy * (t11 - t01)).astype(ix.dtype)
+    d_iy = ((1.0 - wx) * (t01 - t00) + wx * (t11 - t10)).astype(iy.dtype)
+    return d_img, d_ix, d_iy
+
+
+_bilinear_core.defvjp(_bilinear_core_fwd, _bilinear_core_bwd)
 
 
 def grid_sample(
@@ -194,11 +289,11 @@ def grid_sample(
     iy = _unnormalize(g[..., 1], h, align_corners)
 
     if padding_mode == "zeros":
-        out = _bilinear_core(img, ix, iy, zero_oob=True)
+        out = _bilinear_core(img, ix, iy, True)
     elif padding_mode == "border":
         ix = jnp.clip(ix, 0.0, w - 1.0)
         iy = jnp.clip(iy, 0.0, h - 1.0)
-        out = _bilinear_core(img, ix, iy, zero_oob=False)
+        out = _bilinear_core(img, ix, iy, False)
     elif padding_mode == "reflection":
         if align_corners:
             ix = _reflect(ix, 0.0, 2.0 * (w - 1))
@@ -208,7 +303,7 @@ def grid_sample(
             iy = _reflect(iy, -1.0, 2.0 * h - 1.0)
         ix = jnp.clip(ix, 0.0, w - 1.0)
         iy = jnp.clip(iy, 0.0, h - 1.0)
-        out = _bilinear_core(img, ix, iy, zero_oob=False)
+        out = _bilinear_core(img, ix, iy, False)
     else:
         raise ValueError(f"unknown padding_mode {padding_mode!r}")
 
@@ -234,7 +329,7 @@ def sample_pixel(img: jnp.ndarray, coords: jnp.ndarray, mask: bool = False):
     b, h, w, c = img.shape
     sdims = coords.shape[1:-1]
     cc = coords.reshape(b, -1, 2)
-    out = _bilinear_core(img, cc[..., 0], cc[..., 1], zero_oob=True)
+    out = _bilinear_core(img, cc[..., 0], cc[..., 1], True)
     out = out.reshape((b,) + sdims + (c,))
     if mask:
         xg = 2.0 * cc[..., 0] / (w - 1) - 1.0

@@ -87,6 +87,48 @@ class TestSamplePixel:
         np.testing.assert_allclose(np.asarray(m), ref_mask, atol=0)
 
 
+class TestWarpGradients:
+    """The warp backward is a custom matmul-form splat (no XLA scatter, see
+    ops/sampler.py::_splat_mats); pin it to torch autograd through every
+    channel branch (patch4 rows / (2,2,C) slice gather / wide 4-tap)."""
+
+    @pytest.mark.parametrize("c", [3, 40, 70, 130])
+    def test_sample_pixel_vjp_matches_torch(self, c):
+        import jax
+
+        b, h, w, n = 2, 9, 11, 23
+        img = _rand(b, h, w, c, seed=5)
+        coords = np.stack(
+            [
+                _rand(b, n, seed=6) * (w + 3) - 1.5,
+                _rand(b, n, seed=7) * (h + 3) - 1.5,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        g = _rand(b, n, c, seed=8)
+
+        t_img = torch.tensor(to_nchw(img), requires_grad=True)
+        t_coords = torch.tensor(coords[:, :, None, :], requires_grad=True)
+        xg = 2 * t_coords[..., 0:1] / (w - 1) - 1
+        yg = 2 * t_coords[..., 1:2] / (h - 1) - 1
+        ref = F.grid_sample(t_img, torch.cat([xg, yg], -1), align_corners=True)
+        ref.backward(torch.tensor(g.transpose(0, 2, 1)[:, :, :, None]))
+
+        out, vjp = jax.vjp(
+            lambda im, cc: ops.sample_pixel(im, cc),
+            jnp.asarray(img), jnp.asarray(coords),
+        )
+        d_img, d_coords = vjp(jnp.asarray(g))
+        np.testing.assert_allclose(
+            np.asarray(d_img), to_nhwc(t_img.grad.numpy()), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_coords),
+            t_coords.grad.numpy()[:, :, 0, :],
+            atol=2e-4,
+        )
+
+
 class TestResize:
     @pytest.mark.parametrize("align", [True, False])
     @pytest.mark.parametrize("size", [(16, 16), (5, 9), (32, 32), (7, 7)])

@@ -1,12 +1,10 @@
-"""Train-step throughput + MFU on one chip (VERDICT r2 item 5).
+"""Device profile of the b=10 256px train step: top HLO ops/categories.
 
-Times the full b=10 256px MTIA train step (forward with all losses, backward,
-both Adam updates, BN stat update) with honest value-fetch timing (see
-bench.py docstring), and reports samples/s, the XLA cost-model FLOPs/step,
-and MFU against the dtype-matched peak. Reference trains batch 80 / 8 GPUs
-= 10/chip (/root/reference/config/vox1.yaml:77, run.py:59).
+Same xplane parsing as profile_frame.py, over N full train steps (forward +
+backward + both Adam updates). Answers "where do the 3.0 s/step go" — remat
+recompute, Pallas backward, DMA stalls, or optimizer sweep.
 
-Usage: python tools/probe_train.py [batch]   (default 10)
+Usage: python tools/profile_train.py [batch] [N]
 MRFA_BENCH_DTYPE=f32 for full precision (default bf16 compute policy).
 """
 from __future__ import annotations
@@ -14,14 +12,13 @@ from __future__ import annotations
 import functools
 import os
 import sys
-import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PEAK_FLOPS_BF16 = 197e12  # TPU v5e
-PEAK_FLOPS_F32 = 98.5e12
+from profile_frame import parse_xplane  # noqa: E402
 
 
 def main():
@@ -44,11 +41,9 @@ def main():
 
     size = 256
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     cfg = _flagship_cfg(size)
-    # reference-scale batch 10 NEEDS per-iteration remat (without it the
-    # step holds every refinement iteration's full-res activations and
-    # OOMs); this matches config/vox1.yaml's training setting
-    cfg["train_params"]["remat"] = True
+    cfg["train_params"]["remat"] = True  # matches config/vox1.yaml
     model = MRFA(cfg)
     rng = np.random.RandomState(0)
 
@@ -71,7 +66,6 @@ def main():
         variables["params"], tp["lr"], tp["epoch_milestones"], 1000, BG_SUBTREES
     )
     state = create_train_state(variables, tx_main, tx_bg)
-    # bg-phase step (the steady-state vox1 phase: both optimizers live)
     step = make_train_step(
         model, tx_main, tx_bg, use_bg=True,
         clip_grad=tp.get("clip_grad", False), clip=tp.get("clip", 10.0),
@@ -83,37 +77,26 @@ def main():
     }
     key = jax.random.PRNGKey(7)
 
-    flops = None
-    try:
-        cost = (
-            step.lower(state, batch, key, 0.0).compile().cost_analysis()
-        )
-        if cost:
-            c = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(c.get("flops", 0.0)) or None
-    except Exception as e:
-        print(f"cost_analysis unavailable: {e}", flush=True)
-
     state, metrics, _ = step(state, batch, key, 0.0)  # warmup/compile
     _ = float(np.asarray(metrics["loss"]))
 
-    n = 8
-    t0 = time.perf_counter()
-    for i in range(n):
+    logdir = "/tmp/mrfa_prof_train"
+    jax.profiler.start_trace(logdir)
+    for _ in range(n):
         key, sub = jax.random.split(key)
         state, metrics, _ = step(state, batch, sub, 0.0)
-    loss = float(np.asarray(metrics["loss"]))  # value fetch = completion
-    dt = (time.perf_counter() - t0) / n
-    sps = b / dt
-    line = (
-        f"train b={b} {dtype_flag}: {dt * 1e3:8.1f} ms/step, "
-        f"{sps:6.2f} samples/s/chip, loss {loss:.4f}"
-    )
-    if flops:
-        peak = PEAK_FLOPS_BF16 if dtype_flag == "bf16" else PEAK_FLOPS_F32
-        mfu = flops / dt / peak
-        line += f", {flops / 1e12:.1f} TFLOP/step, MFU {mfu:.3f}"
-    print(line, flush=True)
+    _ = float(np.asarray(metrics["loss"]))
+    jax.profiler.stop_trace()
+
+    per_op, per_cat, total = parse_xplane(logdir)
+    print(f"steps traced: {n}  (batch {b}, {dtype_flag})")
+    print(f"total device-op time: {total*1e3:.2f} ms ({total/n*1e3:.1f} ms/step)")
+    print("\n== by category ==")
+    for k, v in sorted(per_cat.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {k:38s} {v*1e3:9.3f} ms  {100*v/max(total,1e-12):5.1f}%")
+    print("\n== top ops ==")
+    for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:50]:
+        print(f"  {k[:70]:70s} {v*1e3:9.3f} ms  {100*v/max(total,1e-12):5.1f}%")
 
 
 if __name__ == "__main__":
