@@ -280,8 +280,15 @@ class RaftFlow(nn.Module):
         return corr_block_lookup_levels_gather(map0, map1, coords)
 
     def _warp_context(self, i: int, feature_i, coords):
-        """Warp the generator feature and project to context channels."""
-        return jax.nn.relu(self.to_context[i](sample_pixel(feature_i, coords)))
+        """Warp the generator feature and project to context channels.
+
+        Under training remat the warp takes the lean gather path: the
+        default patch4 pre-expansion materializes a 4xC copy of the
+        full-res feature map inside the backward replay — the single
+        largest temp of the b=10 256px train step (it OOM'd by ~0.5 GB).
+        """
+        warped = sample_pixel(feature_i, coords, lean=self.remat)
+        return jax.nn.relu(self.to_context[i](warped))
 
     def _refine_iter(
         self,

@@ -44,25 +44,49 @@ import jax.numpy as jnp
 _SPLAT_CHUNK_BYTES = 128 * 1024 * 1024  # bound on the (B, cs, W, C) temp
 
 
-def _splat_mats(g, my, mx, h, w):
-    """sum_n my[b,n,y] * mx[b,n,x] * g[b,n,c] -> (B, h, w, C) f32.
+def _splat(g, y0, wy0, wy1, x0, wx0, wx1, h, w):
+    """d_img[b,y,x,c] = sum_n WY[b,n,y] * WX[b,n,x] * g[b,n,c] -> (B,h,w,C).
 
-    my/mx are (B, N, h|w) weighted one-hot-pair matrices (at most two
-    nonzeros per row). f32 inputs ride the MXU as bf16 triples by default —
-    force the exact path there; bf16 inputs are exact under the default.
+    WY/WX are the weighted one-hot-pair rows (`_pair_mat`) of the separable
+    2x2 splat. They are built PER CHUNK inside the accumulation loop — the
+    full (B, N, H)+(B, N, W) matrices would be ~670 MB live at the b=10
+    train step's full-res warps, which is exactly the memory the matmul
+    form is supposed to save. f32 inputs ride the MXU as bf16 triples by
+    default — force the exact path there; bf16 inputs are exact under the
+    default. Accumulation is f32 either way.
     """
     b, n, c = g.shape
-    prec = jax.lax.Precision.HIGHEST if g.dtype == jnp.float32 else None
-    itemsize = jnp.dtype(g.dtype).itemsize
-    cs = max(256, _SPLAT_CHUNK_BYTES // max(1, b * w * c * itemsize))
-    d = jnp.zeros((b, h, w * c), jnp.float32)
-    for s0 in range(0, n, cs):
-        sl = slice(s0, min(n, s0 + cs))
-        u = mx[:, sl, :, None] * g[:, sl, None, :]  # (B, cs, W, C)
-        d = d + jnp.einsum(
-            "bnh,bnm->bhm", my[:, sl], u.reshape(b, u.shape[1], w * c),
+    dt = g.dtype
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    itemsize = jnp.dtype(dt).itemsize
+    cs = min(n, max(256, _SPLAT_CHUNK_BYTES // max(1, b * w * c * itemsize)))
+    steps = -(-n // cs)
+    if steps * cs != n:
+        pad = steps * cs - n
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        y0 = jnp.pad(y0, ((0, 0), (0, pad)))
+        x0 = jnp.pad(x0, ((0, 0), (0, pad)))
+        # zero pair weights: padded rows contribute nothing
+        wy0, wy1, wx0, wx1 = (
+            jnp.pad(a, ((0, 0), (0, pad))) for a in (wy0, wy1, wx0, wx1)
+        )
+
+    def body(k, d):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k * cs, cs, 1)  # noqa: E731
+        my = _pair_mat(sl(y0), sl(wy0), sl(wy1), h, dt)  # (B, cs, H)
+        mx = _pair_mat(sl(x0), sl(wx0), sl(wx1), w, dt)  # (B, cs, W)
+        u = mx[:, :, :, None] * sl(g)[:, :, None, :]  # (B, cs, W, C)
+        return d + jnp.einsum(
+            "bnh,bnm->bhm", my, u.reshape(b, cs, w * c),
             preferred_element_type=jnp.float32, precision=prec,
         )
+
+    d = jnp.zeros((b, h, w * c), jnp.float32)
+    if steps > 4:
+        d = jax.lax.fori_loop(0, steps, body, d)
+    else:
+        for k in range(steps):
+            d = body(k, d)
     return d.reshape(b, h, w, c)
 
 
@@ -144,11 +168,11 @@ def _tap_weights(ix, iy, h, w, zero_oob):
     return x0, y0, wx, wy, vx0, vx1, vy0, vy1
 
 
-def _gather_taps(img, x0, y0):
+def _gather_taps(img, x0, y0, lean=False):
     """The four corner taps at integer (x0, y0): p00, p10, p01, p11, each
     (B, N, C) — p10 is the x+1 tap. Out-of-range taps read zero (from the
-    padded copy) except on the wide-channel path, which clamps (its callers
-    zero OOB taps via the weight masks).
+    padded copy) except on the wide-channel/lean path, which clamps (its
+    callers zero OOB taps via the weight masks).
 
     Branching by channel width (tools/probe_warp_variants.py):
       - 4C <= 256: ONE flat row gather per sample from a pre-expanded patch
@@ -162,9 +186,15 @@ def _gather_taps(img, x0, y0):
       - C <= 128: one (2, 2, C) slice-gather descriptor per sample.
       - C > 128 (deep pyramid levels, small N): the padded-copy overhead
         exceeds the descriptor savings — four row gathers, clamped indices.
+      - lean=True forces the four-row-gather path regardless of C: no
+        padded copy and no 4x img4 expansion. Used under training remat,
+        where the expanded patch image is the largest live temp of the
+        backward replay (it OOM'd the reference-scale b=10 step); the
+        descriptor cost is 4x but training is matmul-bound, not
+        gather-descriptor-bound.
     """
     b, h, w, c = img.shape
-    if c > 128:
+    if lean or c > 128:
         flat = img.reshape(b, h * w, c)
         taps = []
         for xi, yi in (
@@ -198,12 +228,13 @@ def _gather_taps(img, x0, y0):
             patch[:, :, 1, 0], patch[:, :, 1, 1]]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _bilinear_core(
     img: jnp.ndarray,
     ix: jnp.ndarray,
     iy: jnp.ndarray,
     zero_oob: bool,
+    lean: bool = False,
 ) -> jnp.ndarray:
     """Bilinear sample at float pixel coords ix, iy of shape (B, N).
 
@@ -223,7 +254,7 @@ def _bilinear_core(
     w10 = ((wx * (1.0 - wy)) * (vx1 * vy0))[..., None]
     w01 = (((1.0 - wx) * wy) * (vx0 * vy1))[..., None]
     w11 = ((wx * wy) * (vx1 * vy1))[..., None]
-    p00, p10, p01, p11 = _gather_taps(img, x0, y0)
+    p00, p10, p01, p11 = _gather_taps(img, x0, y0, lean)
 
     # blend accumulates in f32 (the fraction weights stay f32 — bf16
     # fractions would quantize smooth warps to 1/256-pixel steps); only the
@@ -234,23 +265,26 @@ def _bilinear_core(
     return out.astype(img.dtype)
 
 
-def _bilinear_core_fwd(img, ix, iy, zero_oob):
-    return _bilinear_core(img, ix, iy, zero_oob), (img, ix, iy)
+def _bilinear_core_fwd(img, ix, iy, zero_oob, lean):
+    return _bilinear_core(img, ix, iy, zero_oob, lean), (img, ix, iy)
 
 
-def _bilinear_core_bwd(zero_oob, res, g):
+def _bilinear_core_bwd(zero_oob, lean, res, g):
     img, ix, iy = res
     b, h, w, c = img.shape
     x0, y0, wx, wy, vx0, vx1, vy0, vy1 = _tap_weights(ix, iy, h, w, zero_oob)
 
     # d_img: separable weighted one-hot splat (MXU matmuls, no scatter)
-    my = _pair_mat(y0, (1.0 - wy) * vy0, wy * vy1, h, g.dtype)
-    mx = _pair_mat(x0, (1.0 - wx) * vx0, wx * vx1, w, g.dtype)
-    d_img = _splat_mats(g, my, mx, h, w).astype(img.dtype)
+    d_img = _splat(
+        g, y0, (1.0 - wy) * vy0, wy * vy1, x0, (1.0 - wx) * vx0, wx * vx1,
+        h, w,
+    ).astype(img.dtype)
 
     # d_coords: taps are constants a.e. — only the fraction weights carry
-    # derivatives. Regather (descriptor-cheap) instead of saving residuals.
-    p00, p10, p01, p11 = _gather_taps(img, x0, y0)
+    # derivatives. Regather (descriptor-cheap) instead of saving residuals;
+    # same lean flag as the forward so the replayed forward's gather
+    # structure CSEs with this one instead of doubling the live temps.
+    p00, p10, p01, p11 = _gather_taps(img, x0, y0, lean)
     g32 = g.astype(jnp.float32)
     dot = lambda p: jnp.sum(g32 * p.astype(jnp.float32), axis=-1)  # noqa: E731
     t00 = dot(p00) * vx0 * vy0
@@ -270,6 +304,7 @@ def grid_sample(
     grid: jnp.ndarray,
     align_corners: bool = False,
     padding_mode: str = "zeros",
+    lean: bool = False,
 ) -> jnp.ndarray:
     """Bilinear backward warp with torch `F.grid_sample` semantics, NHWC.
 
@@ -278,6 +313,8 @@ def grid_sample(
       grid: (B, *S, 2) normalized xy coordinates in [-1, 1].
       align_corners: coordinate convention flag.
       padding_mode: 'zeros' | 'border' | 'reflection'.
+      lean: memory-light gather path (see `_gather_taps`) — set under
+        training remat where the expanded patch image dominates peak HBM.
 
     Returns:
       (B, *S, C) sampled values.
@@ -289,11 +326,11 @@ def grid_sample(
     iy = _unnormalize(g[..., 1], h, align_corners)
 
     if padding_mode == "zeros":
-        out = _bilinear_core(img, ix, iy, True)
+        out = _bilinear_core(img, ix, iy, True, lean)
     elif padding_mode == "border":
         ix = jnp.clip(ix, 0.0, w - 1.0)
         iy = jnp.clip(iy, 0.0, h - 1.0)
-        out = _bilinear_core(img, ix, iy, False)
+        out = _bilinear_core(img, ix, iy, False, lean)
     elif padding_mode == "reflection":
         if align_corners:
             ix = _reflect(ix, 0.0, 2.0 * (w - 1))
@@ -303,14 +340,15 @@ def grid_sample(
             iy = _reflect(iy, -1.0, 2.0 * h - 1.0)
         ix = jnp.clip(ix, 0.0, w - 1.0)
         iy = jnp.clip(iy, 0.0, h - 1.0)
-        out = _bilinear_core(img, ix, iy, False)
+        out = _bilinear_core(img, ix, iy, False, lean)
     else:
         raise ValueError(f"unknown padding_mode {padding_mode!r}")
 
     return out.reshape((b,) + sdims + (c,))
 
 
-def sample_pixel(img: jnp.ndarray, coords: jnp.ndarray, mask: bool = False):
+def sample_pixel(img: jnp.ndarray, coords: jnp.ndarray, mask: bool = False,
+                 lean: bool = False):
     """Bilinear sample at raw pixel xy coordinates, zero padding.
 
     Matches the reference `bilinear_sampler` (pixel coords normalized then
@@ -322,6 +360,7 @@ def sample_pixel(img: jnp.ndarray, coords: jnp.ndarray, mask: bool = False):
       coords: (B, *S, 2) pixel-space xy coordinates.
       mask: also return an in-bounds float mask (strict interior, matching
         the reference's `(x > -1) & (x < 1)` on normalized coords).
+      lean: memory-light gather path (see `_gather_taps`).
 
     Returns:
       (B, *S, C), and optionally (B, *S, 1) mask.
@@ -329,7 +368,7 @@ def sample_pixel(img: jnp.ndarray, coords: jnp.ndarray, mask: bool = False):
     b, h, w, c = img.shape
     sdims = coords.shape[1:-1]
     cc = coords.reshape(b, -1, 2)
-    out = _bilinear_core(img, cc[..., 0], cc[..., 1], True)
+    out = _bilinear_core(img, cc[..., 0], cc[..., 1], True, lean)
     out = out.reshape((b,) + sdims + (c,))
     if mask:
         xg = 2.0 * cc[..., 0] / (w - 1) - 1.0

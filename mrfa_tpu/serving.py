@@ -38,6 +38,17 @@ class StreamBatchState(struct.PyTreeNode):
     source_cache: Any = None
 
 
+class FormattedStreams:
+    """A compile_streams() handle: the AOT executable plus its arguments
+    already laid out in the executable's preferred (AUTO) formats."""
+
+    def __init__(self, compiled, variables, state, frame_fmt):
+        self.compiled = compiled
+        self.variables = variables
+        self.state = state
+        self.frame_fmt = frame_fmt
+
+
 class AnimationServer:
     def __init__(
         self,
@@ -158,6 +169,45 @@ class AnimationServer:
         if self.mesh is not None:
             f = jax.device_put(f, batch_sharding(self.mesh))
         return self._frame(self.variables, state, f)
+
+    def compile_streams(self, state: StreamBatchState) -> "FormattedStreams":
+        """AOT-compile the frame step with compiler-chosen (AUTO) input
+        layouts and move the weights + per-clip stream state into those
+        layouts ONCE.
+
+        The jit path device_puts arguments in default layouts; when the
+        executable prefers tiled/transposed layouts XLA inserts relayout
+        copies INSIDE the program, re-paid every frame — at S=8 the device
+        profile shows ~40% of op time in such copy-starts, led by the
+        per-clip source cache. Pre-formatting is the serving analogue of
+        weight pre-packing in an inference runtime. Single-host path (the
+        mesh path shards by stream; formats there follow GSPMD).
+        """
+        if self.mesh is not None:
+            raise NotImplementedError("preformatting rides single-chip serving")
+        from jax.experimental.layout import Format, Layout
+
+        dummy = jnp.zeros_like(state.source)
+        # jit-of-jit inlines the traced step under the AUTO-layout wrapper
+        auto = jax.jit(
+            lambda v, st, f: self._frame(v, st, f),
+            in_shardings=Format(Layout.AUTO),
+        )
+        compiled = auto.lower(self.variables, state, dummy).compile()
+        var_fmt, state_fmt, frame_fmt = compiled.input_formats[0]
+        return FormattedStreams(
+            compiled=compiled,
+            variables=jax.device_put(self.variables, var_fmt),
+            state=jax.device_put(state, state_fmt),
+            frame_fmt=frame_fmt,
+        )
+
+    def serve_formatted(self, fs: "FormattedStreams", frames) -> jnp.ndarray:
+        """serve() through a compile_streams() handle — no in-program
+        relayout copies; the driving frame is re-laid-out in one device_put
+        (a no-op when the compiler keeps the default frame layout)."""
+        f = jax.device_put(jnp.asarray(frames), fs.frame_fmt)
+        return fs.compiled(fs.variables, fs.state, f)
 
     def serve_chunk(self, state: StreamBatchState, frames: np.ndarray) -> jnp.ndarray:
         """Advance every stream K frames: (K,S,H,W,3) -> (K,S,H,W,3) out.

@@ -182,3 +182,16 @@ class TestServing:
         want = np.stack([np.asarray(server.serve(state, f)) for f in frames])
         got = np.asarray(server.serve_chunk(state, frames))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_serve_formatted_matches_serve(self, tiny_model):
+        model, variables = tiny_model
+        server = AnimationServer(model, variables)
+        rng = np.random.RandomState(7)
+        sources = rng.rand(2, SIZE, SIZE, 3).astype(np.float32)
+        first = rng.rand(2, SIZE, SIZE, 3).astype(np.float32)
+        state = server.open_streams(sources, first)
+        frame = rng.rand(2, SIZE, SIZE, 3).astype(np.float32)
+        want = np.asarray(server.serve(state, frame))
+        fs = server.compile_streams(state)
+        got = np.asarray(server.serve_formatted(fs, frame))
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -92,8 +92,11 @@ class TestWarpGradients:
     ops/sampler.py::_splat_mats); pin it to torch autograd through every
     channel branch (patch4 rows / (2,2,C) slice gather / wide 4-tap)."""
 
-    @pytest.mark.parametrize("c", [3, 40, 70, 130])
-    def test_sample_pixel_vjp_matches_torch(self, c):
+    @pytest.mark.parametrize(
+        "c,lean", [(3, False), (40, False), (70, False), (130, False),
+                   (3, True), (70, True)],
+    )
+    def test_sample_pixel_vjp_matches_torch(self, c, lean):
         import jax
 
         b, h, w, n = 2, 9, 11, 23
@@ -115,7 +118,7 @@ class TestWarpGradients:
         ref.backward(torch.tensor(g.transpose(0, 2, 1)[:, :, :, None]))
 
         out, vjp = jax.vjp(
-            lambda im, cc: ops.sample_pixel(im, cc),
+            lambda im, cc: ops.sample_pixel(im, cc, lean=lean),
             jnp.asarray(img), jnp.asarray(coords),
         )
         d_img, d_coords = vjp(jnp.asarray(g))

@@ -232,3 +232,45 @@ class TestTrainStep:
             assert any(
                 float(jnp.abs(a - b).max()) > 0 for a, b in zip(bs_old, bs_new)
             )
+
+
+class TestRematGradients:
+    def test_remat_lean_grads_match_plain(self):
+        """train_params.remat=True flips on per-iteration remat + the lean
+        warp gather (ops/sampler.py). Identical math: the composite loss
+        gradient must match the plain (remat=False) graph."""
+        import jax
+
+        def grads_for(remat):
+            cfg = small_cfg("fomm")
+            cfg["train_params"]["remat"] = remat
+            model = MRFA(cfg)
+            rng = np.random.RandomState(0)
+            src = jnp.asarray(rng.rand(2, SIZE, SIZE, 3), jnp.float32)
+            drv = jnp.asarray(rng.rand(2, SIZE, SIZE, 3), jnp.float32)
+            rngs = {
+                "params": jax.random.PRNGKey(0),
+                "equivariance": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+            }
+            variables = model.init(
+                rngs, src, drv, train=True, compute_loss=True, use_bg=True
+            )
+
+            def loss_fn(params):
+                (_, _, losses, _, _), _ = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    src, drv, train=True, compute_loss=True, use_bg=True,
+                    rngs=rngs, mutable=["batch_stats"],
+                )
+                return sum(jnp.mean(v) for v in losses.values())
+
+            return jax.grad(loss_fn)(variables["params"])
+
+        g0 = grads_for(False)
+        g1 = grads_for(True)
+        for p0, (a0, a1) in jax.tree_util.tree_leaves_with_path(
+            jax.tree.map(lambda a, b: (np.asarray(a), np.asarray(b)), g0, g1),
+            is_leaf=lambda x: isinstance(x, tuple),
+        ):
+            np.testing.assert_allclose(a0, a1, atol=2e-4, err_msg=str(p0))

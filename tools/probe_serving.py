@@ -91,6 +91,23 @@ def main():
             flush=True,
         )
 
+        # preformatted path: AUTO-layout AOT + per-clip relayout once
+        fs = server.compile_streams(state)
+        out = server.serve_formatted(fs, frames[0])
+        _ = np.asarray(out)
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            out = server.serve_formatted(fs, frames[i % len(frames)])
+        checksum_f = float(np.asarray(out).mean())
+        dtf = time.perf_counter() - t0
+        print(
+            f"S={s:3d} fmt: {n_iters * s / dtf:7.2f} fps aggregate "
+            f"({dtf / n_iters * 1e3:.1f} ms/step, "
+            f"{dtf / n_iters / s * 1e3:.2f} ms/frame, "
+            f"checksum {checksum_f:.4f} vs {checksum:.4f})",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
