@@ -40,13 +40,15 @@ class StreamBatchState(struct.PyTreeNode):
 
 class FormattedStreams:
     """A compile_streams() handle: the AOT executable plus its arguments
-    already laid out in the executable's preferred (AUTO) formats."""
+    already laid out in the executable's preferred (AUTO) formats.
+    `frame_reformat` is a compiled identity program that lays out each
+    incoming driving frame in the executable's required format."""
 
-    def __init__(self, compiled, variables, state, frame_fmt):
+    def __init__(self, compiled, variables, state, frame_reformat):
         self.compiled = compiled
         self.variables = variables
         self.state = state
-        self.frame_fmt = frame_fmt
+        self.frame_reformat = frame_reformat
 
 
 class AnimationServer:
@@ -188,25 +190,42 @@ class AnimationServer:
         from jax.experimental.layout import Format, Layout
 
         dummy = jnp.zeros_like(state.source)
-        # jit-of-jit inlines the traced step under the AUTO-layout wrapper
-        auto = jax.jit(
-            lambda v, st, f: self._frame(v, st, f),
-            in_shardings=Format(Layout.AUTO),
-        )
+        # Pass 1 — let the compiler SOLVE its preferred input layouts.
+        # jit-of-jit inlines the traced step under the AUTO-layout wrapper.
+        step = lambda v, st, f: self._frame(v, st, f)  # noqa: E731
+        auto = jax.jit(step, in_shardings=Format(Layout.AUTO))
         compiled = auto.lower(self.variables, state, dummy).compile()
         var_fmt, state_fmt, frame_fmt = compiled.input_formats[0]
+
+        # Pass 2 — lay the arguments out with a COMPILED identity program
+        # whose out_shardings are the solved formats. `device_put` is not
+        # trustworthy here: on the axon TPU PJRT backend it silently drifts
+        # from the requested layout (wrong minor-dim tiling) for ~10 leaf
+        # shapes, and the drifted buffers either fail the executable's
+        # layout check or, when recompiled-around, abort in the backend.
+        # XLA-produced outputs carry exactly their declared layouts.
+        reformat = (
+            jax.jit(lambda v, st: (v, st), out_shardings=(var_fmt, state_fmt))
+            .lower(self.variables, state)
+            .compile()
+        )
+        f_vars, f_state = reformat(self.variables, state)
+        frame_reformat = (
+            jax.jit(lambda f: f, out_shardings=frame_fmt).lower(dummy).compile()
+        )
         return FormattedStreams(
             compiled=compiled,
-            variables=jax.device_put(self.variables, var_fmt),
-            state=jax.device_put(state, state_fmt),
-            frame_fmt=frame_fmt,
+            variables=f_vars,
+            state=f_state,
+            frame_reformat=frame_reformat,
         )
 
     def serve_formatted(self, fs: "FormattedStreams", frames) -> jnp.ndarray:
         """serve() through a compile_streams() handle — no in-program
-        relayout copies; the driving frame is re-laid-out in one device_put
-        (a no-op when the compiler keeps the default frame layout)."""
-        f = jax.device_put(jnp.asarray(frames), fs.frame_fmt)
+        relayout copies; the driving frame is re-laid-out by one compiled
+        identity program (a plain copy when the compiler keeps the default
+        frame layout)."""
+        f = fs.frame_reformat(jnp.asarray(frames))
         return fs.compiled(fs.variables, fs.state, f)
 
     def serve_chunk(self, state: StreamBatchState, frames: np.ndarray) -> jnp.ndarray:
