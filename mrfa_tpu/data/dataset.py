@@ -130,7 +130,11 @@ class FramesDataset:
         self.is_train = is_train
         self.rng = np.random.RandomState(seed)
 
-        if id_sampling:
+        if not is_train:
+            # eval-only roots need no train/ split (the reference likewise
+            # tolerates partial layouts, /root/reference/frames_dataset.py:60)
+            train_videos = []
+        elif id_sampling:
             names = os.listdir(os.path.join(root_dir, "train"))
             if split_len is not None:
                 train_videos = {os.path.basename(v)[:split_len] for v in names}
