@@ -43,6 +43,37 @@ import jax.numpy as jnp
 
 _SPLAT_CHUNK_BYTES = 128 * 1024 * 1024  # bound on the (B, cs, W, C) temp
 
+# Pallas splat dispatch: the XLA chunked matmul splat below is
+# bandwidth-bound (it round-trips the (B,H,W*C) f32 accumulator and the
+# (B,chunk,W,C) outer product through HBM every chunk — ~160 ms per
+# full-res warp backward at the b=10 256px train step). The Pallas kernel
+# (ops/pallas_splat.py) keeps the output tile in VMEM across all chunks.
+# Dispatch from 2048 queries on TPU; below that (or for non-lane-aligned
+# C like RGB) the XLA form stays.
+_SPLAT_PALLAS_MIN_N = 2048
+
+
+def _splat_on_tpu() -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def _splat_dispatch(g, y0, wy0, wy1, x0, wx0, wx1, h, w):
+    from mrfa_tpu.ops.pallas_splat import pick_tile, splat_pallas
+
+    b, n, c = g.shape
+    if (
+        n >= _SPLAT_PALLAS_MIN_N
+        and pick_tile(w, c) is not None
+        and h % 8 == 0
+        and _splat_on_tpu()
+    ):
+        return splat_pallas(g, y0, wy0, wy1, x0, wx0, wx1, h, w)
+    return _splat(g, y0, wy0, wy1, x0, wx0, wx1, h, w)
+
 
 def _splat(g, y0, wy0, wy1, x0, wx0, wx1, h, w):
     """d_img[b,y,x,c] = sum_n WY[b,n,y] * WX[b,n,x] * g[b,n,c] -> (B,h,w,C).
@@ -274,8 +305,9 @@ def _bilinear_core_bwd(zero_oob, lean, res, g):
     b, h, w, c = img.shape
     x0, y0, wx, wy, vx0, vx1, vy0, vy1 = _tap_weights(ix, iy, h, w, zero_oob)
 
-    # d_img: separable weighted one-hot splat (MXU matmuls, no scatter)
-    d_img = _splat(
+    # d_img: separable weighted one-hot splat (MXU matmuls, no scatter);
+    # large dense warps take the VMEM-resident Pallas kernel
+    d_img = _splat_dispatch(
         g, y0, (1.0 - wy) * vy0, wy * vy1, x0, (1.0 - wx) * vx0, wx * vx1,
         h, w,
     ).astype(img.dtype)

@@ -344,3 +344,74 @@ def test_pallas_pret_oob_zero_interpret():
         _corr_lookup_pallas_pret_impl(*_pret_levels(corr), coords, interpret=True)
     )
     np.testing.assert_allclose(out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Warp-backward splat kernel (ops/pallas_splat.py)
+# ---------------------------------------------------------------------------
+
+
+def _splat_case(rng, b, h, w, c, n, dt):
+    import jax.numpy as jnp2
+
+    g = jnp2.asarray(rng.randn(b, n, c), dt)
+    y0 = jnp2.asarray(rng.randint(-1, h + 1, (b, n)), jnp2.int32)
+    x0 = jnp2.asarray(rng.randint(-1, w + 1, (b, n)), jnp2.int32)
+    ws = [jnp2.asarray(rng.rand(b, n), jnp2.float32) for _ in range(4)]
+    return g, y0, ws[0], ws[1], x0, ws[2], ws[3]
+
+
+def test_splat_pallas_matches_xla_f32_interpret():
+    from mrfa_tpu.ops.pallas_splat import splat_pallas
+    from mrfa_tpu.ops.sampler import _splat
+
+    rng = np.random.RandomState(0)
+    for (b, h, w, c, n) in [(2, 32, 32, 64, 1024), (1, 16, 16, 128, 300),
+                            (2, 64, 32, 256, 2048)]:
+        args = _splat_case(rng, b, h, w, c, n, jnp.float32)
+        want = np.asarray(_splat(*args, h, w))
+        got = np.asarray(splat_pallas(*args, h, w, interpret=True))
+        # f32: bit-identical contraction (f32 accumulate, exact products)
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+
+def test_splat_pallas_matches_xla_bf16_interpret():
+    from mrfa_tpu.ops.pallas_splat import splat_pallas
+    from mrfa_tpu.ops.sampler import _splat
+
+    rng = np.random.RandomState(1)
+    args = _splat_case(rng, 2, 32, 32, 64, 1500, jnp.bfloat16)  # pad path
+    want = np.asarray(_splat(*args, 32, 32), np.float32)
+    got = np.asarray(splat_pallas(*args, 32, 32, interpret=True), np.float32)
+    # interpret-mode dots round bf16 products (the MXU keeps them exact in
+    # f32 — on-device error vs the XLA splat is ~5e-7, probe_splat_pallas);
+    # tolerance here covers the interpret-only product rounding
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 2e-2
+
+
+def test_splat_pallas_oob_rows_drop_interpret():
+    from mrfa_tpu.ops.pallas_splat import splat_pallas
+
+    # every query OOB with zero weights -> zero image
+    b, h, w, c, n = 1, 16, 16, 64, 256
+    g = jnp.ones((b, n, c), jnp.float32)
+    y0 = jnp.full((b, n), -1, jnp.int32)
+    x0 = jnp.full((b, n), w, jnp.int32)
+    zero = jnp.zeros((b, n), jnp.float32)
+    one = jnp.ones((b, n), jnp.float32)
+    # wy0 weights nonzero but their row (-1) matches no output row; wy1 hits
+    # row 0 with zero weight; x0=w matches nothing, x0+1=w+1 matches nothing
+    out = np.asarray(
+        splat_pallas(g, y0, one, zero, x0, one, one, h, w, interpret=True)
+    )
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_splat_dispatch_gates():
+    from mrfa_tpu.ops.pallas_splat import pick_tile
+
+    assert pick_tile(256, 64) == 32
+    assert pick_tile(128, 128) == 16
+    assert pick_tile(64, 256) == 8
+    assert pick_tile(64, 3) is None  # RGB warps stay on the XLA splat
