@@ -171,6 +171,36 @@ def main():
                 f"oracle on hardware: max_abs_err={err}"
             )
 
+    # the warp-backward splat kernel (production training path via
+    # _splat_dispatch at n >= 2048) vs the XLA matmul splat, compiled on
+    # the real chip in both production dtypes — interpret-mode tests can't
+    # see a Mosaic lowering regression (ADVICE r4)
+    from mrfa_tpu.ops.pallas_splat import splat_pallas
+    from mrfa_tpu.ops.sampler import _splat
+
+    splat_exactness = 0.0
+    for dt in (np.float32, jnp.bfloat16):
+        bs, ns, hs, ws, cs_ = 2, 4096, 64, 64, 64
+        gs = jnp.asarray(rng.randn(bs, ns, cs_).astype(np.float32)).astype(dt)
+        ys = jnp.asarray(rng.randint(-1, hs + 1, (bs, ns)).astype(np.int32))
+        xs = jnp.asarray(rng.randint(-1, ws + 1, (bs, ns)).astype(np.int32))
+        wls = [
+            jnp.asarray(rng.rand(bs, ns).astype(np.float32)) for _ in range(4)
+        ]
+        want_s = np.asarray(
+            _splat(gs, ys, wls[0], wls[1], xs, wls[2], wls[3], hs, ws)
+        )
+        got_s = np.asarray(
+            splat_pallas(gs, ys, wls[0], wls[1], xs, wls[2], wls[3], hs, ws)
+        )
+        err = float(np.abs(got_s - want_s).max() / (np.abs(want_s).max() + 1e-8))
+        splat_exactness = max(splat_exactness, err)
+        if err > 1e-4:
+            raise AssertionError(
+                f"Pallas splat diverges from the XLA splat on hardware "
+                f"(dtype={dt}): max_rel_err={err}"
+            )
+
     out, _, _ = step(frames[0])  # warmup / compile
     _ = np.asarray(out)  # value fetch = true completion
 
@@ -218,6 +248,7 @@ def main():
         "checksum": round(checksum, 4),
         "checksum_chunk": round(checksum_ch, 4),
         "lookup_exactness": lookup_exactness,
+        "splat_exactness": splat_exactness,
     }
     if flops_per_frame:
         # pick the peak-FLOPs denominator matching the bench dtype so the

@@ -59,7 +59,9 @@ def pick_tile(w: int, c: int):
     best = None
     while tw >= 1:
         twc = tw * c
-        if twc <= MAX_TWC and twc % 128 == 0:
+        # tw must divide w: the grid writes n_wt = w // tw tiles and any
+        # remainder columns would be silently left uninitialized
+        if w % tw == 0 and twc <= MAX_TWC and twc % 128 == 0:
             best = tw
             if twc <= TARGET_TWC:
                 break
@@ -79,6 +81,11 @@ def _splat_kernel(
     wi = pl.program_id(1)
     dt = g_ref.dtype
     cs = idx_ref.shape[2]
+    # f32 inputs must NOT take the MXU's default single-pass bf16 rounding:
+    # `_splat` computes f32 at Precision.HIGHEST, and the bench.py hardware
+    # gate measured 4.5e-3 rel divergence at default precision. bf16 inputs
+    # are exact under the native pass.
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
     # one-hot pair rows, built in f32 (Mosaic only supports minor-dim
     # insertion on 32-bit types) and cast at the end — identical rounding
@@ -109,13 +116,15 @@ def _splat_kernel(
     mxf = jax.lax.dot_general(
         mx, e_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,  # Mosaic requires a 32-bit acc
+        precision=prec,
     ).astype(dt)  # exact: E only copies values  # (cs, TWC)
     g2 = g_ref[0]  # (cs, C)
     gf = jnp.concatenate([g2] * tw, axis=1)  # (cs, TWC), col t*C+c = g[:, c]
     u = mxf * gf  # dt product, matching the XLA splat's u
 
     acc = jax.lax.dot_general(
-        my, u, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        my, u, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (H, TWC) f32
     out_ref[0] = out_ref[0] + acc
 
@@ -140,6 +149,7 @@ def splat_pallas(
         raise ValueError(f"no lane-aligned tile for w={w}, c={c}")
     twc = tw * c
     n_wt = w // tw
+    assert tw * n_wt == w, f"tile {tw} does not divide w={w}"
 
     cs = min(CHUNK, max(128, n))
     steps = -(-n // cs)
