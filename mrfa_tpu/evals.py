@@ -85,12 +85,24 @@ def reconstruction(
     num_videos = config["reconstruction_params"].get("num_videos")
     fmt = config["reconstruction_params"].get("format", ".mp4")
 
+    # per-phase wall clocks (VERDICT r4 item 6: the r4 eval rerun was 2.3x
+    # slower than the cold run — name where eval wall actually goes)
+    import time as _time
+
+    phase = {
+        "first_call": 0.0,  # compile (or cache load) + first chunk
+        "read": 0.0, "device": 0.0, "visualize": 0.0, "encode": 0.0,
+    }
+    first_call_done = False
+
     loss_list, lpips_list, psnr_list = [], [], []
     for it in range(len(dataset)):
         if num_videos is not None and it > num_videos:
             break
+        t0 = _time.perf_counter()
         x = dataset[it]
         video = np.asarray(x["video"])  # (T, H, W, 3)
+        phase["read"] += _time.perf_counter() - t0
         T = video.shape[0]
         source = jnp.asarray(video[:1])
         predictions, visualizations = [], []
@@ -100,14 +112,19 @@ def reconstruction(
             if n_valid < frame_batch:  # pad to the compiled shape
                 pad = np.repeat(chunk[-1:], frame_batch - n_valid, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
+            t0 = _time.perf_counter()
             driving = jnp.asarray(chunk)
             out = eval_frames(variables, source, driving)
             gen, warp_vis, kp_s, kp_d, m_l1, m_lpips, m_psnr = jax.device_get(out)
+            key = "device" if first_call_done else "first_call"
+            phase[key] += _time.perf_counter() - t0
+            first_call_done = True
             loss_list.extend(m_l1[:n_valid].tolist())
             lpips_list.extend(m_lpips[:n_valid].tolist())
             psnr_list.extend(m_psnr[:n_valid].tolist())
             predictions.extend(gen[:n_valid])
             if save_visualizations:
+                t0 = _time.perf_counter()
                 for t in range(n_valid):
                     vis = visualizer.visualize(
                         source=np.asarray(source),
@@ -119,13 +136,17 @@ def reconstruction(
                         kp_d=kp_d[t : t + 1],
                     )
                     visualizations.append(vis)
+                phase["visualize"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         strip = np.concatenate(predictions, axis=1)
         _imsave(os.path.join(png_dir, x["name"] + ".png"),
                 (255 * np.clip(strip, 0, 1)).astype(np.uint8))
         if save_visualizations:
             _mimsave(os.path.join(log_dir, x["name"] + fmt), visualizations)
+        phase["encode"] += _time.perf_counter() - t0
 
     results = {
+        "phase_wall": {k: round(v, 2) for k, v in phase.items()},
         "l1": float(np.mean(loss_list)) if loss_list else float("nan"),
         "lpips": float(np.mean(lpips_list)) if lpips_list else float("nan"),
         "psnr": float(np.mean(psnr_list)) if psnr_list else float("nan"),

@@ -195,3 +195,35 @@ class TestServing:
         fs = server.compile_streams(state)
         got = np.asarray(server.serve_formatted(fs, frame))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_mesh_serving_matches_single_device(self, tiny_model):
+        """Multi-device serving (streams sharded over the 'data' mesh axis,
+        SURVEY §2.5 / BASELINE serving config): S=8 streams over a 4-device
+        mesh must produce the same frames as the single-device server."""
+        from mrfa_tpu.parallel.mesh import make_mesh
+
+        model, variables = tiny_model
+        rng = np.random.RandomState(11)
+        S = 8
+        sources = rng.rand(S, SIZE, SIZE, 3).astype(np.float32)
+        first = rng.rand(S, SIZE, SIZE, 3).astype(np.float32)
+        frame = rng.rand(S, SIZE, SIZE, 3).astype(np.float32)
+        frames2 = rng.rand(2, S, SIZE, SIZE, 3).astype(np.float32)
+
+        single = AnimationServer(model, variables)
+        st1 = single.open_streams(sources, first)
+        want = np.asarray(single.serve(st1, frame))
+        want_chunk = np.asarray(single.serve_chunk(st1, frames2))
+
+        mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+        with mesh:
+            server = AnimationServer(model, variables, mesh=mesh)
+            st = server.open_streams(sources, first)
+            got = server.serve(st, frame)
+            # streams actually ride the data axis, not a replicated fallback
+            assert len(got.sharding.device_set) == 4, got.sharding
+            # atol 5e-5: GSPMD partitioning reassociates f32 reductions
+            # (measured drift 1.4e-5 max over 393k elements)
+            np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+            got_chunk = np.asarray(server.serve_chunk(st, frames2))
+            np.testing.assert_allclose(got_chunk, want_chunk, atol=5e-5)

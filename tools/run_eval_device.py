@@ -105,9 +105,12 @@ def main():
     ds = FramesDataset(root, frame_shape=(SIZE, SIZE, 3), is_train=False)
     log_dir = tempfile.mkdtemp(prefix="eval_out_")
 
+    # metric runs default to metrics-only; EVAL_VIS=1 adds the per-frame
+    # visualization grids + mp4 encode (host-encode wall, not device wall)
     t0 = time.perf_counter()
     results = reconstruction(
-        cfg, model, variables, log_dir, ds, save_visualizations=True
+        cfg, model, variables, log_dir, ds,
+        save_visualizations=bool(os.environ.get("EVAL_VIS")),
     )
     wall = time.perf_counter() - t0
     results["dtype"] = dtype_flag
