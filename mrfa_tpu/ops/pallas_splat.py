@@ -151,7 +151,12 @@ def splat_pallas(
     n_wt = w // tw
     assert tw * n_wt == w, f"tile {tw} does not divide w={w}"
 
-    cs = min(CHUNK, max(128, n))
+    # f32 tiles are twice the bytes of bf16 in VMEM; at CHUNK=1024 and
+    # TWC=2048 the (cs, TWC) intermediates (mxf/gf/u) overflow the 16 MB
+    # scoped-VMEM stack (measured: 18.15M requested at (256,256,64) f32).
+    # Halve the query chunk for 4-byte dtypes — grid doubles, tiles fit.
+    chunk = CHUNK if jnp.dtype(dt).itemsize <= 2 else CHUNK // 2
+    cs = min(chunk, max(128, n))
     steps = -(-n // cs)
     if steps * cs != n:
         pad = steps * cs - n
