@@ -62,14 +62,20 @@ def main():
     state = server.open_streams(sources, first)
     frame = jnp.asarray(rng.rand(s, size, size, 3).astype(np.float32))
 
-    out = server.serve(state, frame)
+    aot = os.environ.get("MRFA_PROF_AOT", "0") == "1"
+    if aot:
+        fs = server.compile_streams(state)
+        step = lambda: server.serve_formatted(fs, frame)  # noqa: E731
+    else:
+        step = lambda: server.serve(state, frame)  # noqa: E731
+    out = step()
     _ = np.asarray(out)  # warmup + compile
 
-    logdir = f"/tmp/mrfa_prof_s{s}"
+    logdir = f"/tmp/mrfa_prof_s{s}{'_aot' if aot else ''}"
     N = 12
     jax.profiler.start_trace(logdir)
     for _ in range(N):
-        out = server.serve(state, frame)
+        out = step()
     _ = np.asarray(out)
     jax.profiler.stop_trace()
     per_op, per_cat, total = parse_xplane(logdir)
