@@ -75,7 +75,17 @@ class Animator:
         use_relative_jacobian: bool = True,
     ):
         self.model = model
-        self.variables = variables
+        # pre-cast the compute-dtype conv/dense kernels ONCE under the bf16
+        # policy: bit-identical to the per-call cast flax would do inside
+        # the frame program, but the f32 weight reads + cast copy chains
+        # leave the per-frame step (the S=1 device profile showed them as
+        # the largest class of per-frame copy traffic)
+        from mrfa_tpu.precision import cast_params_for_inference, get_compute_dtype
+
+        cd = get_compute_dtype()
+        self.variables = (
+            cast_params_for_inference(variables, cd) if cd is not None else variables
+        )
         self.relative = relative
         self.use_relative_jacobian = use_relative_jacobian
         self._aa = AntiAliasParams.create(0.25)

@@ -83,18 +83,27 @@ def _warp_decode(
     the whole forward (they cost ~1.3 GB padded at the reference batch 10).
     The iterations hand over only the small flow_w / occlusion tensors.
     """
+    from mrfa_tpu.ops.sampler import train_gather_mode
+
+    # Under training these warps sit inside the remat'd decode region: the
+    # default img4 pre-expansion of the full-res (b,256,256,64) feature is a
+    # 4xC live temp of the backward replay (2x ~341 MB relayout copies in the
+    # round-5 b=10 byte profile) — take the train gather mode instead.
+    lean = train_gather_mode() if train else False
     out_warp_f, out_warp_f_c, out_occ_c = [], [], []
     for i, (feat, flow_w) in enumerate(zip(features, flow_ws)):
         res = feat.shape[1]
         id_grid = coords_grid(res, res, dtype=flow_w.dtype)[None]
-        out_warp_f.append(sample_pixel(feat, flow_w + id_grid))
+        out_warp_f.append(sample_pixel(feat, flow_w + id_grid, lean=lean))
         # coarse branch: warp by the prior flow alone
         if i != basic_res_index:
             flow_res = resize_bilinear(deformation, res, align_corners=True)
             occ_res = resize_bilinear(occ_prior, res, align_corners=True)
         else:
             flow_res, occ_res = deformation, occ_prior
-        out_warp_f_c.append(grid_sample(feat, flow_res, align_corners=False))
+        out_warp_f_c.append(
+            grid_sample(feat, flow_res, align_corners=False, lean=lean)
+        )
         out_occ_c.append(jax.nn.sigmoid(occ_res))
     return gen.decode(out_warp_f, warp_img, occs, out_warp_f_c, out_occ_c, train)
 
@@ -196,6 +205,35 @@ class RaftFlow(nn.Module):
             return corr_block_lookup_fast(corr_src, coords)
         return corr_block_lookup(corr_src, coords)
 
+    def _source_layouts(self, f_s, b, h, w):
+        """Source features in every layout _build_levels may need: y-major,
+        x-major (pallas pret kernel), their 2x2 source-pooled level-1
+        counterparts, and the x-PADDED variants whose level einsums emit
+        maps already zero-padded on the sublane axis (v3 padded kernel).
+        Each is a cheap (B, 4096, 256) permute; unused layouts are
+        dead-code-eliminated at trace time on the training path (the
+        serving cache materializes all of them once per clip). The
+        (4096, 4096) volume of the reference is never materialized in
+        y-major + pooled copies: every level is a direct einsum
+        (see _build_levels)."""
+        from mrfa_tpu.ops.pallas_kernels import PAD as _KPAD
+
+        f_s_sp = f_s.reshape(b, h, w, self.dim)
+        f_s_p = avg_pool(f_s_sp, 2)
+        f_s_x = jnp.swapaxes(f_s_sp, 1, 2)  # (b, w, h, dim) x-major
+        f_s_px = jnp.swapaxes(f_s_p, 1, 2)
+        zp = ((0, 0), (_KPAD, _KPAD), (0, 0), (0, 0))
+        return {
+            "y": f_s,
+            "x": f_s_x.reshape(b, h * w, self.dim),
+            "py": f_s_p.reshape(b, h * w // 4, self.dim),
+            "px": f_s_px.reshape(b, h * w // 4, self.dim),
+            "xp": jnp.pad(f_s_x, zp).reshape(b, (w + 2 * _KPAD) * h, self.dim),
+            "pxp": jnp.pad(f_s_px, zp).reshape(
+                b, (w // 2 + 2 * _KPAD) * (h // 2), self.dim
+            ),
+        }
+
     def _build_levels(self, fd_sp, f_s_layouts, train):
         """Per-query 2-level correlation maps as einsums vs source features.
 
@@ -282,12 +320,20 @@ class RaftFlow(nn.Module):
     def _warp_context(self, i: int, feature_i, coords):
         """Warp the generator feature and project to context channels.
 
-        Under training remat the warp takes the lean gather path: the
-        default patch4 pre-expansion materializes a 4xC copy of the
-        full-res feature map inside the backward replay — the single
-        largest temp of the b=10 256px train step (it OOM'd by ~0.5 GB).
+        Under training remat the warp avoids the default patch4
+        pre-expansion: img4 materializes a 4xC copy of the full-res
+        feature map inside the backward replay — the single largest temp
+        of the b=10 256px train step (it OOM'd by ~0.5 GB). The remat
+        gather mode is `sampler.train_gather_mode()`: "patch" ((2,2,C)
+        slice gather — one descriptor per sample, only a ~1.02x padded
+        copy) by default; the round-5 b=10 profile showed the previous
+        lean path's 4x row-gather descriptors dominating async-DMA time.
         """
-        warped = sample_pixel(feature_i, coords, lean=self.remat)
+        from mrfa_tpu.ops.sampler import train_gather_mode
+
+        warped = sample_pixel(
+            feature_i, coords, lean=train_gather_mode() if self.remat else False
+        )
         return jax.nn.relu(self.to_context[i](warped))
 
     def _refine_iter(
@@ -435,7 +481,14 @@ class RaftFlow(nn.Module):
         fe_s = self.kp_img(jnp.concatenate([g_s, img], axis=-1), train)
         k_s = self.kp_img_head(fe_s)  # (B,h,w,dim)
         f_s = k_s.reshape(b, h * w, self.dim)
-        return {"feature": tuple(feature), "f_s": f_s}
+        # also hoist the permuted/padded correlation layouts of f_s — each
+        # is per-clip-constant; rebuilding them per frame showed up as
+        # relayout copy traffic in the S=8 serving byte profile
+        return {
+            "feature": tuple(feature),
+            "f_s": f_s,
+            "f_s_layouts": self._source_layouts(f_s, b, h, w),
+        }
 
     def _prior_only_forward(self, dense_motion, feature, img_full, train):
         flow = dense_motion["deformation"]  # (B,64,64,2) normalized
@@ -512,31 +565,13 @@ class RaftFlow(nn.Module):
         q_d = self.kp_head(fe_d)  # (B, h, w, dim) driving query features
 
         # --- correlation pyramid levels, built per driving resolution ---
-        # source features in every layout _build_levels may need: y-major,
-        # x-major (pallas pret kernel), and their 2x2 source-pooled level-1
-        # counterparts. Each is a cheap (B, 4096, 256) permute; the unused
-        # layouts are dead-code-eliminated at trace time. The (4096, 4096)
-        # volume of the reference is never materialized in y-major + pooled
-        # copies: every level is a direct einsum (see _build_levels).
-        from mrfa_tpu.ops.pallas_kernels import PAD as _KPAD
-
-        f_s_sp = f_s.reshape(b, h, w, self.dim)
-        f_s_p = avg_pool(f_s_sp, 2)
-        f_s_x = jnp.swapaxes(f_s_sp, 1, 2)  # (b, w, h, dim) x-major
-        f_s_px = jnp.swapaxes(f_s_p, 1, 2)
-        zp = ((0, 0), (_KPAD, _KPAD), (0, 0), (0, 0))
-        f_s_layouts = {
-            "y": f_s,
-            "x": f_s_x.reshape(b, h * w, self.dim),
-            "py": f_s_p.reshape(b, h * w // 4, self.dim),
-            "px": f_s_px.reshape(b, h * w // 4, self.dim),
-            # x-PADDED layouts: make the level einsums emit maps that are
-            # already zero-padded on the sublane axis (v3 padded kernel)
-            "xp": jnp.pad(f_s_x, zp).reshape(b, (w + 2 * _KPAD) * h, self.dim),
-            "pxp": jnp.pad(f_s_px, zp).reshape(
-                b, (w // 2 + 2 * _KPAD) * (h // 2), self.dim
-            ),
-        }
+        # source-feature layouts are per-clip-constant: the serving cache
+        # carries them precomputed (encode_source); the training/uncached
+        # path builds them here per call
+        if source_cache is not None and "f_s_layouts" in source_cache:
+            f_s_layouts = source_cache["f_s_layouts"]
+        else:
+            f_s_layouts = self._source_layouts(f_s, b, h, w)
         # training under remat builds the levels INSIDE each checkpointed
         # iteration (recomputed in the backward, not stored — see
         # _refine_iter); eval/serving precomputes them here so the full-res

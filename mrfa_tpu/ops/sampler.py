@@ -17,6 +17,7 @@ All tensors are NHWC. Grids carry xy (x = width/column) in the last axis.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,18 @@ _SPLAT_CHUNK_BYTES = 128 * 1024 * 1024  # bound on the (B, cs, W, C) temp
 # Dispatch from 2048 queries on TPU; below that (or for non-lane-aligned
 # C like RGB) the XLA form stays.
 _SPLAT_PALLAS_MIN_N = 2048
+
+
+def train_gather_mode():
+    """Gather mode for the full-res feature warps under training remat.
+
+    "patch" ((2,2,C) slice gather: one descriptor per sample, only a
+    ~1.02x padded copy live in the replay) is the measured default; True
+    (four row gathers, zero extra copies) is the minimal-memory fallback,
+    selectable via MRFA_TRAIN_GATHER=lean. See `_gather_taps`.
+    """
+    mode = os.environ.get("MRFA_TRAIN_GATHER", "patch")
+    return True if mode == "lean" else mode
 
 
 def _splat_on_tpu() -> bool:
@@ -218,14 +231,17 @@ def _gather_taps(img, x0, y0, lean=False):
       - C > 128 (deep pyramid levels, small N): the padded-copy overhead
         exceeds the descriptor savings — four row gathers, clamped indices.
       - lean=True forces the four-row-gather path regardless of C: no
-        padded copy and no 4x img4 expansion. Used under training remat,
-        where the expanded patch image is the largest live temp of the
-        backward replay (it OOM'd the reference-scale b=10 step); the
-        descriptor cost is 4x but training is matmul-bound, not
-        gather-descriptor-bound.
+        padded copy and no 4x img4 expansion — the minimal-memory option
+        for training remat (the img4 expansion is a 4xC live temp inside
+        the backward replay; it OOM'd the reference-scale b=10 step).
+      - lean="patch" forces the (2, 2, C) slice-gather path regardless of
+        C: ONE descriptor per sample like img4, but the only extra live
+        temp is the ~1.02x padded copy. The middle ground for training
+        remat — the round-5 b=10 profile showed the lean path's 4x gather
+        descriptors dominating the step's async-DMA time.
     """
     b, h, w, c = img.shape
-    if lean or c > 128:
+    if lean is True or (not lean and c > 128):
         flat = img.reshape(b, h * w, c)
         taps = []
         for xi, yi in (
@@ -242,7 +258,7 @@ def _gather_taps(img, x0, y0, lean=False):
     y0p = jnp.clip(y0, -1, h) + 1  # rows padded (1, 2)
     x0p = jnp.clip(x0, -1, w) + 1
     imgp = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
-    if 4 * c <= 256:
+    if not lean and 4 * c <= 256:
         img4 = jnp.concatenate(
             [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
              imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1,

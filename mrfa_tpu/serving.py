@@ -61,7 +61,14 @@ class AnimationServer:
         use_relative_jacobian: bool = True,
     ):
         self.model = model
-        self.variables = variables
+        # bf16-policy weight pre-pack (see Animator.__init__): bit-identical
+        # to the in-program per-frame cast, done once at server init
+        from mrfa_tpu.precision import cast_params_for_inference, get_compute_dtype
+
+        cd = get_compute_dtype()
+        self.variables = (
+            cast_params_for_inference(variables, cd) if cd is not None else variables
+        )
         self.mesh = mesh
         self.relative = relative
         self.use_relative_jacobian = use_relative_jacobian

@@ -94,7 +94,7 @@ class TestWarpGradients:
 
     @pytest.mark.parametrize(
         "c,lean", [(3, False), (40, False), (70, False), (130, False),
-                   (3, True), (70, True)],
+                   (3, True), (70, True), (40, "patch"), (130, "patch")],
     )
     def test_sample_pixel_vjp_matches_torch(self, c, lean):
         import jax
