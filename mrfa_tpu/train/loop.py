@@ -166,6 +166,13 @@ def train(
     start_epoch = 0
     if checkpoint is not None and not checkpoint.endswith(".pth"):
         state, start_epoch = restore_train_state(checkpoint, state)
+        # orbax returns arrays COMMITTED to their save-time (single) device;
+        # jit under the multi-device mesh context rejects committed
+        # single-device inputs. Replicate the restored state over the mesh
+        # (the fresh-state path's arrays are uncommitted and auto-place).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
 
     steps = {}
     rng = jax.random.PRNGKey(seed + 1234)
