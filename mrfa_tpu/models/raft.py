@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mrfa_tpu.models.generator import OcclusionAwareGenerator
-from mrfa_tpu.nn.blocks import Hourglass, conv2d
+from mrfa_tpu.nn.blocks import Hourglass, conv2d, conv2d_taps
 from mrfa_tpu.ops.corr import (
     corr_block_lookup,
     corr_block_lookup_fast,
@@ -48,7 +48,10 @@ class BasicMotionEncoder(nn.Module):
     def __call__(self, delta_flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
         cor = jax.nn.relu(conv2d(128, 1, name="convc1")(corr))
         cor = jax.nn.relu(conv2d(96, 3, padding=1, name="convc2")(cor))
-        flo = jax.nn.relu(conv2d(128, 7, padding=3, name="convf1")(delta_flow))
+        # 7x7 over 2 flow channels: tap-matmul form (k*k*C=98 contraction)
+        flo = jax.nn.relu(
+            conv2d_taps(128, 7, padding=3, mode="in", name="convf1")(delta_flow)
+        )
         flo = jax.nn.relu(conv2d(64, 3, padding=1, name="convf2")(flo))
         out = jax.nn.relu(
             conv2d(126, 3, padding=1, name="conv")(jnp.concatenate([cor, flo], -1))
@@ -61,10 +64,12 @@ class RefineFlow(nn.Module):
     def __call__(self, m_f: jnp.ndarray, warp_f: jnp.ndarray):
         c = jax.nn.relu(conv2d(128, 3, padding=1, name="convc1")(warp_f))
         inp = jnp.concatenate([m_f, c], axis=-1)  # 256 channels
-        flow = conv2d(2, 3, padding=1, name="conv2")(
+        # 2- and 1-channel heads: per-tap projection + shifted sum (the
+        # direct conv runs the MXU at O/128 utilization)
+        flow = conv2d_taps(2, 3, padding=1, mode="out", name="conv2")(
             jax.nn.relu(conv2d(128, 3, padding=1, name="conv1")(inp))
         )
-        occ = conv2d(1, 3, padding=1, name="convo2")(
+        occ = conv2d_taps(1, 3, padding=1, mode="out", name="convo2")(
             jax.nn.relu(conv2d(128, 3, padding=1, name="convo1")(inp))
         )
         return jnp.concatenate([flow, occ], axis=-1), inp
@@ -180,18 +185,21 @@ class RaftFlow(nn.Module):
         if not self.fast_lookup and impl == "auto":
             impl = "gather"
         if impl == "auto":
-            # Pallas on real TPU from 256 queries up. Honest per-op timing
-            # (value-fetch completion, v5e, 64x64 maps): BQ=256 1.1 vs 2.7ms,
-            # BQ=1024 2.5 vs 4.9ms, BQ=4096 4.2 vs 19.9ms (pallas vs XLA) —
-            # the XLA patch-slice path lowers its vmapped dynamic_slice to a
-            # serialized while loop on TPU. Round-1's >=16384 threshold was
-            # tuned on tunnel dispatch rates, not device execution.
+            # Pallas on real TPU from one query block up. Honest per-op
+            # timing (value-fetch completion, v5e, 64x64 maps): BQ=256 1.1
+            # vs 2.7ms, BQ=1024 2.5 vs 4.9ms, BQ=4096 4.2 vs 19.9ms (pallas
+            # vs XLA) — the XLA patch-slice path lowers its vmapped
+            # dynamic_slice to a serialized while loop on TPU; the round-5
+            # frame profile showed even iteration 0's 64 queries costing
+            # 0.16 ms/frame in those loops vs ~4 us for a 4-block Pallas
+            # dispatch. Round-1's >=16384 threshold was tuned on tunnel
+            # dispatch rates, not device execution.
             try:
                 platform = jax.devices()[0].platform
             except Exception:
                 platform = "cpu"
             on_tpu = platform in ("tpu", "axon")
-            impl = "pallas" if on_tpu and bq >= 256 else "xla"
+            impl = "pallas" if on_tpu and bq >= 64 else "xla"
         return impl
 
     def _lookup(self, corr_src, coords):
@@ -352,6 +360,7 @@ class RaftFlow(nn.Module):
         feature_i,
         init_flow,
         init_occlusion,
+        fuse_img=None,
     ):
         """One refinement iteration (resolution (size//32)*2^i).
 
@@ -408,15 +417,33 @@ class RaftFlow(nn.Module):
             corr = resize_bilinear(corr, res, align_corners=True)
 
         m_f = self.corr_enc(flow, corr)
-        # context warp as its own nested remat region (training): the warp's
-        # expanded patch image + gathered taps are the iteration's largest
-        # temps at full res and need not coexist with the conv stacks' replay
-        warp_ctx = (
-            nn.remat(type(self)._warp_context, static_argnums=(1,))
-            if self.remat
-            else type(self)._warp_context
-        )
-        warp_f = warp_ctx(self, i, feature_i, flow + id_grid)
+        warp_img_out = None
+        if fuse_img is not None:
+            # final-iteration fusion (eval / non-remat train): the post-loop
+            # image warp `sample_pixel(img_full, flow + id_grid)` uses the
+            # SAME coordinates as this iteration's context warp (the last
+            # iteration leaves `flow` unchanged — reference raft.py:302
+            # warps by the pre-refinement flow), so one channel-concatenated
+            # gather serves both. Saves a full 65 536-descriptor gather
+            # stream + its blend per frame (~0.13 ms, round-5 profile).
+            cf = feature_i.shape[-1]
+            fused = jnp.concatenate(
+                [feature_i, fuse_img.astype(feature_i.dtype)], axis=-1
+            )
+            warped = sample_pixel(fused, flow + id_grid, lean="img4")
+            warp_f = jax.nn.relu(self.to_context[i](warped[..., :cf]))
+            warp_img_out = warped[..., cf:]
+        else:
+            # context warp as its own nested remat region (training): the
+            # warp's expanded patch image + gathered taps are the
+            # iteration's largest temps at full res and need not coexist
+            # with the conv stacks' replay
+            warp_ctx = (
+                nn.remat(type(self)._warp_context, static_argnums=(1,))
+                if self.remat
+                else type(self)._warp_context
+            )
+            warp_f = warp_ctx(self, i, feature_i, flow + id_grid)
 
         d_all, _ = self.refine(m_f, warp_f)
         d_flow = d_all[..., 0:2]
@@ -457,7 +484,7 @@ class RaftFlow(nn.Module):
 
         return (
             flow, occlusion, d_f_pre, d_occ_pre,
-            flow_w_out, occ_logits_out,
+            flow_w_out, occ_logits_out, warp_img_out,
         )
 
     def encode_source(self, kp_s, img, img_full, train=False):
@@ -617,6 +644,15 @@ class RaftFlow(nn.Module):
             else type(self)._refine_iter
         )
 
+        # warp the image in the compute dtype: the 256^2 gather is
+        # descriptor-rate-bound and ~40% faster on bf16 rows (profile);
+        # pixel values lose <0.4% — the geometry (coords) stays f32
+        from mrfa_tpu.precision import get_compute_dtype
+
+        cd = get_compute_dtype()
+        img_cast = img_full if cd is None else img_full.astype(cd)
+
+        warp_img = None
         for i in range(self.total_iter):
             if build_inside:
                 # query count for this iteration: res^2 until the basic res,
@@ -627,31 +663,33 @@ class RaftFlow(nn.Module):
                 )
             else:
                 impl_i, map0_i, map1_i = levels[i]
+            # last iteration outside remat: fuse the final image warp into
+            # the context warp (same coords — see _refine_iter)
+            fuse_img = (
+                img_cast
+                if (i == self.total_iter - 1 and not build_inside)
+                else None
+            )
             (
                 flow, occlusion, d_f_pre, d_occ_pre,
-                flow_w_i, occ_logits_i,
+                flow_w_i, occ_logits_i, warp_img_i,
             ) = iter_fn(
                 self, i, train, impl_i, flow, occlusion, d_f_pre, d_occ_pre,
                 map0_i, map1_i,
                 q_d if build_inside else None,
                 f_s_layouts if build_inside else None,
-                feature[i], init_flow, init_occlusion,
+                feature[i], init_flow, init_occlusion, fuse_img,
             )
             out_flow_w.append(flow_w_i)
             out_occ_logits.append(occ_logits_i)
+            if warp_img_i is not None:
+                warp_img = warp_img_i
 
         # NB: matches the reference — the final warp uses the pre-refinement
         # flow of the last iteration (raft.py:302 uses `flow`, not `flow_w`)
-        id_grid = coords_grid(self.size, self.size, dtype=flow.dtype)[None]
-        # warp the image in the compute dtype: the 256^2 gather is
-        # descriptor-rate-bound and ~40% faster on bf16 rows (profile);
-        # pixel values lose <0.4% — the geometry (coords) stays f32
-        from mrfa_tpu.precision import get_compute_dtype
-
-        cd = get_compute_dtype()
-        warp_img = sample_pixel(
-            img_full if cd is None else img_full.astype(cd), flow + id_grid
-        )
+        if warp_img is None:
+            id_grid = coords_grid(self.size, self.size, dtype=flow.dtype)[None]
+            warp_img = sample_pixel(img_cast, flow + id_grid)
         out_occlusion = [jax.nn.sigmoid(l) for l in out_occ_logits]
         decode_fn = (
             nn.remat(_warp_decode, static_argnums=(7, 8))

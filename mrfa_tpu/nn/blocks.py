@@ -129,6 +129,83 @@ class SpaceToDepthConv(nn.Module):
         return ys.reshape(b, h, w, o) + bias.astype(dt)
 
 
+class TapsConv(nn.Module):
+    """Stride-1 conv computed as tap matmuls, for MXU-hostile channel shapes.
+
+    XLA's TPU conv emitters run the MXU at O/128 (or ~k*k*C/128) column
+    utilization when the output (or input) channel count is tiny: the
+    serving frame profile showed 7x7 2->128 (BasicMotionEncoder.convf1),
+    3x3 128->2 (RefineFlow.conv2) and 7x7 108->11 (DenseMotion.mask)
+    costing 0.1-0.2 ms each at 1-5% MFU. Two exact re-associations:
+
+      - mode 'in' (tiny k*k*C): one im2col concat of the k*k shifted input
+        slices, then a single [N, k*k*C] @ [k*k*C, O] matmul.
+      - mode 'out' (tiny O): one [N, C] @ [C, k*k*O] per-tap projection
+        matmul, then a sum of k*k shifted slices (a cheap VPU fusion).
+
+    Both accumulate in f32 and only differ from lax.conv by summation
+    order. The parameter structure is identical to conv2d/nn.Conv
+    ((kh, kw, in, out) 'kernel' + 'bias' at this module's name), so
+    checkpoint conversion (utils/torch_convert.py) and the torch-mirror
+    naming invariant are unaffected.
+    """
+
+    features: int
+    kernel_size: int
+    padding: int
+    mode: str  # 'in' | 'out'
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from mrfa_tpu.precision import get_compute_dtype
+
+        k, p, o = self.kernel_size, self.padding, self.features
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", torch_conv_kernel_init, (k, k, c, o))
+        dt = get_compute_dtype() or x.dtype
+        xd = x.astype(dt)
+        kd = kernel.astype(dt)
+        if self.mode == "in":
+            xp = jnp.pad(xd, ((0, 0), (p, p), (p, p), (0, 0)))
+            cols = jnp.concatenate(
+                [xp[:, i:i + h, j:j + w, :] for i in range(k) for j in range(k)],
+                axis=-1,
+            )
+            y = jnp.einsum(
+                "bhwk,kf->bhwf", cols, kd.reshape(k * k * c, o),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            k2 = jnp.transpose(kd, (2, 0, 1, 3)).reshape(c, k * k * o)
+            t = jnp.einsum(
+                "bhwc,cf->bhwf", xd, k2, preferred_element_type=jnp.float32
+            ).reshape(b, h, w, k, k, o)
+            tp = jnp.pad(
+                t, ((0, 0), (p, p), (p, p), (0, 0), (0, 0), (0, 0))
+            )
+            # out[y, x] = sum_{i,j} t[y + i - p, x + j - p, i, j]
+            y = tp[:, 0:h, 0:w, 0, 0, :]
+            for i in range(k):
+                for j in range(k):
+                    if i == 0 and j == 0:
+                        continue
+                    y = y + tp[:, i:i + h, j:j + w, i, j, :]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (o,))
+            y = y + bias.astype(jnp.float32)
+        return y.astype(dt)
+
+
+def conv2d_taps(features, kernel_size, padding=0, mode="out", use_bias=True,
+                name=None):
+    """TapsConv with the conv2d call signature (stride 1, groups 1)."""
+    return TapsConv(
+        features=features, kernel_size=kernel_size, padding=padding,
+        mode=mode, use_bias=use_bias, name=name,
+    )
+
+
 def dense(features, use_bias=True, name=None):
     from mrfa_tpu.precision import get_compute_dtype
 

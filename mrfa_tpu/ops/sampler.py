@@ -239,6 +239,11 @@ def _gather_taps(img, x0, y0, lean=False):
         temp is the ~1.02x padded copy. The middle ground for training
         remat — the round-5 b=10 profile showed the lean path's 4x gather
         descriptors dominating the step's async-DMA time.
+      - lean="img4" forces the pre-expanded flat-row path regardless of C:
+        used by the fused context+image final warp (models/raft.py), whose
+        concatenated 67 channels sit just over the 4C<=256 default gate —
+        measured 9.0 ns/descriptor at 4C=268 (tools/probe_fused_warp.py),
+        still the fastest form for that shape.
     """
     b, h, w, c = img.shape
     if lean is True or (not lean and c > 128):
@@ -258,7 +263,7 @@ def _gather_taps(img, x0, y0, lean=False):
     y0p = jnp.clip(y0, -1, h) + 1  # rows padded (1, 2)
     x0p = jnp.clip(x0, -1, w) + 1
     imgp = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
-    if not lean and 4 * c <= 256:
+    if lean == "img4" or (not lean and 4 * c <= 256):
         img4 = jnp.concatenate(
             [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
              imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1,

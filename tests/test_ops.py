@@ -232,3 +232,44 @@ class TestSpaceToDepthConv:
         variables = mod.init(jax.random.PRNGKey(0), x)
         out = mod.apply(variables, x)
         assert out.shape == (1, 30, 30, 2)
+
+
+class TestTapsConv:
+    """TapsConv (tap-matmul conv for MXU-hostile channel shapes) matches the
+    direct lax.conv for both modes, including the production shapes it
+    replaces (convf1 7x7 2->128, conv2 3x3 128->2, mask 7x7 108->11)."""
+
+    @pytest.mark.parametrize(
+        "k,pad,cin,cout,mode",
+        [
+            (7, 3, 2, 128, "in"),    # BasicMotionEncoder.convf1
+            (3, 1, 128, 2, "out"),   # RefineFlow.conv2
+            (3, 1, 128, 1, "out"),   # RefineFlow.convo2
+            (7, 3, 108, 11, "out"),  # DenseMotionNetwork.mask
+            (7, 3, 108, 1, "out"),   # DenseMotionNetwork.occlusion
+        ],
+    )
+    def test_matches_direct_conv(self, k, pad, cin, cout, mode):
+        import jax
+        import jax.numpy as jnp
+
+        from mrfa_tpu.nn.blocks import TapsConv
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 16, 16, cin).astype(np.float32))
+        mod = TapsConv(features=cout, kernel_size=k, padding=pad, mode=mode)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        got = mod.apply(variables, x)
+
+        kern = variables["params"]["kernel"]
+        b = variables["params"]["bias"]
+        assert kern.shape == (k, k, cin, cout)  # torch-convertible layout
+        want = (
+            jax.lax.conv_general_dilated(
+                x, kern, (1, 1), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
