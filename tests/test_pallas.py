@@ -415,3 +415,45 @@ def test_splat_dispatch_gates():
     assert pick_tile(128, 128) == 16
     assert pick_tile(64, 256) == 8
     assert pick_tile(64, 3) is None  # RGB warps stay on the XLA splat
+
+
+def test_pallas_padded_pads_are_load_bearing_interpret():
+    """ADVICE r4: corr_block_lookup_pallas_padded's custom VJP emits exact
+    zeros for the PAD-row cotangents, which is only correct when the pad
+    rows are zero-CONSTANTS upstream (jnp.pad of zeros — true for the one
+    in-repo caller, models/raft.py::_build_levels via x-padded source
+    features). This test pins why: the FORWARD does read the pad rows
+    (windows near the border land in them), so a future caller feeding
+    real data there would get a forward that depends on values whose
+    gradient the VJP silently drops."""
+    from mrfa_tpu.ops.pallas_kernels import (
+        PAD, _corr_lookup_pallas_padded_impl, corr_block_lookup_pallas_padded,
+    )
+
+    rng = np.random.RandomState(11)
+    bq = 16
+    corr = jnp.asarray(rng.randn(bq, 64, 64, 1).astype(np.float32))
+    # border coords: their 7x7 windows extend into the pad rows
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-2, 2, bq), rng.uniform(-2, 2, bq)], -1
+                 ).astype(np.float32)
+    )
+    c0p, c1p = _padded_levels(corr)
+
+    # 1) the VJP's pad-row cotangents are exact zeros (the contract) —
+    # evaluate the public custom_vjp's backward rule directly
+    g = jnp.asarray(rng.randn(bq, 98).astype(np.float32))
+    from mrfa_tpu.ops import pallas_kernels as pk
+
+    d_c0t, d_c1t, _ = pk._corr_lookup_pallas_pret_bwd_impl(
+        c0p[:, PAD:-PAD, :], c1p[:, PAD:-PAD, :], coords, g, interpret=True
+    )
+    d_c0p = jnp.pad(d_c0t, ((0, 0), (PAD, PAD), (0, 0)))
+    assert float(jnp.abs(d_c0p[:, :PAD]).max()) == 0.0
+    assert float(jnp.abs(d_c0p[:, -PAD:]).max()) == 0.0
+
+    # 2) the forward READS the pad rows: poisoning them changes the output
+    want = _corr_lookup_pallas_padded_impl(c0p, c1p, coords, interpret=True)
+    poison = c0p.at[:, :PAD].set(7.0).at[:, -PAD:].set(7.0)
+    got = _corr_lookup_pallas_padded_impl(poison, c1p, coords, interpret=True)
+    assert float(jnp.abs(got - want).max()) > 1.0
